@@ -1,0 +1,134 @@
+"""Configuration tree for the TPU serving engine.
+
+One dataclass per subsystem, mirroring the names the reference exposes as
+constructor kwargs / module constants (ref: 05_mini_vllm/mini_vllm.py:649-662,
+01_paged_attention/paged_attention.py:12, BLOG_PART2_V2.md:1147-1198
+SchedulerConfig discussion) so that a reference user finds the same knobs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Shapes of the served model (ref: mini_vllm.py:649-662)."""
+
+    vocab_size: int = 1000
+    hidden_size: int = 256
+    num_layers: int = 4
+    num_heads: int = 4
+    num_kv_heads: int = 4
+    intermediate_size: Optional[int] = None  # default 4 * hidden
+    max_position: int = 4096
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+    dtype: str = "float32"  # compute dtype: "float32" on CPU tests, "bfloat16" on TPU
+    # MoE (0 experts = dense FFN).  ref: 03_moe/mini_moe.py:182-236
+    num_experts: int = 0
+    top_k: int = 2
+    num_groups: int = 1          # >1 => DeepSeek grouped routing
+    topk_group: int = 1
+    num_shared_experts: int = 0
+    aux_loss_coeff: float = 0.01
+    # MLA (kv_lora_rank > 0 enables latent attention).  ref: 04_mla/mini_mla.py:139-201
+    kv_lora_rank: int = 0
+    qk_rope_head_dim: int = 0
+    q_lora_rank: int = 0
+    v_head_dim: int = 0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @property
+    def ffn_dim(self) -> int:
+        return self.intermediate_size or 4 * self.hidden_size
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank > 0
+
+
+@dataclass(frozen=True)
+class CacheConfig:
+    """Paged KV cache geometry + quantization (ref: paged_attention.py:12-51)."""
+
+    block_size: int = 16
+    num_blocks: int = 256
+    # "int8" => quantized KV pages with per-slot fp32 scales; "none" => dtype pages.
+    kv_quant: str = "int8"
+    enable_prefix_caching: bool = True
+
+    @property
+    def kv_dtype_bytes(self) -> int:
+        return 1 if self.kv_quant == "int8" else 4
+
+
+@dataclass(frozen=True)
+class SchedulerConfig:
+    """Continuous-batching caps (ref: mini_vllm.py:164-190; BLOG_PART2_V2.md:1147-1198)."""
+
+    max_num_seqs: int = 8
+    max_num_batched_tokens: int = 512
+    enable_chunked_prefill: bool = True
+    # Preemption policy when blocks run out (blog scheduler BLOG_PART2.md:992-1015).
+    enable_preemption: bool = True
+    policy: str = "fcfs"  # or "priority"
+    long_prefill_token_threshold: int = 0  # 0 = disabled
+    max_num_partial_prefills: int = 0      # 0 = unlimited
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Device-mesh axes.  All default to 1 (single chip)."""
+
+    dp_size: int = 1
+    tp_size: int = 1
+    ep_size: int = 1
+    pp_size: int = 1  # reserved: pool keys carry pp_rank from day 1 (BLOG_PART2B_V2.md:1259)
+    sp_size: int = 1
+
+    @property
+    def world_size(self) -> int:
+        return self.dp_size * self.tp_size * self.pp_size
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """Weight quantization. "none" | "int8" (weight-only, per-output-channel scales)."""
+
+    weight_quant: str = "none"
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    """Per-request sampling knobs (ref: mini_vllm.py:127-131)."""
+
+    max_new_tokens: int = 16
+    temperature: float = 1.0
+    top_p: float = 1.0
+    top_k: int = 0  # 0 = disabled
+    # Token id that terminates generation (ref uses 0: mini_vllm.py:327).
+    eos_token_id: int = 0
+    ignore_eos: bool = False
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    cache: CacheConfig = field(default_factory=CacheConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    quant: QuantConfig = field(default_factory=QuantConfig)
+    seed: int = 0
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
