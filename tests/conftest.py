@@ -3,14 +3,23 @@
 Unit tests run on any machine (no TPU needed), and multi-chip sharding tests
 run against a virtual 8-device mesh — the test strategy SURVEY.md §4 calls
 for.  Real-device runs: set VFS_TPU_REAL_DEVICE=1 before pytest.
+
+Note: env vars are not enough here.  The session's sitecustomize registers
+the axon TPU-tunnel PJRT plugin and calls
+``jax.config.update("jax_platforms", "axon,cpu")`` at interpreter start,
+overriding JAX_PLATFORMS.  We must update the jax config back *after* import
+but *before* any backend initializes — conftest import time is exactly that
+window.
 """
 
 import os
 
 if not os.environ.get("VFS_TPU_REAL_DEVICE"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
