@@ -1,0 +1,296 @@
+"""Engine + scheduler tests — port of the reference suite 05 contract
+(05_mini_vllm/test_mini_vllm.py, 26 cases): scheduler budgets/caps/chunking,
+slot-mapping bounds, end-to-end generate() smoke tests, sampler statistics,
+prefill determinism — plus tests the reference *lacks*: an exact dense-oracle
+equivalence for the full engine (possible here because our decode path truly
+gathers through block tables, unlike mini_vllm.py:468-473), batching
+invariance, prefix-cache reuse, and preemption-by-recompute.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_from_scratch_tpu.core.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SamplingParams,
+    SchedulerConfig,
+)
+from vllm_from_scratch_tpu.core.engine import LLMEngine
+from vllm_from_scratch_tpu.core.kv_cache_manager import KVCacheManager
+from vllm_from_scratch_tpu.core.request import Request, RequestStatus
+from vllm_from_scratch_tpu.core.scheduler import Scheduler
+from vllm_from_scratch_tpu.models.layers import rms_norm, swiglu
+from vllm_from_scratch_tpu.ops.attention import dense_attention
+from vllm_from_scratch_tpu.ops.rotary import apply_rope
+
+
+def small_config(**kw):
+    defaults = dict(
+        model=ModelConfig(
+            vocab_size=128, hidden_size=64, num_layers=2,
+            num_heads=4, num_kv_heads=2, max_position=256,
+        ),
+        cache=CacheConfig(block_size=16, num_blocks=64, kv_quant="none"),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64),
+    )
+    defaults.update(kw)
+    return EngineConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def engine_factory():
+    """Engines sharing one config (and thus one compiled program cache)."""
+    def make(**kw):
+        return LLMEngine(small_config(**kw))
+    return make
+
+
+GREEDY = SamplingParams(max_new_tokens=6, temperature=0.0, ignore_eos=True)
+
+
+# ---------------------------------------------------------------- oracle
+
+def oracle_generate(params, cfg: ModelConfig, prompt, num_new):
+    """From-scratch full-recompute reference: no paging, no cache, dense
+    causal attention each step.  The engine must reproduce this exactly at
+    fp32 (greedy)."""
+    tokens = list(prompt)
+    for _ in range(num_new):
+        x = params["embed"][jnp.asarray([tokens], jnp.int32)]
+        T = len(tokens)
+        pos = jnp.arange(T, dtype=jnp.int32)[None]
+        for li in range(cfg.num_layers):
+            lyr = {k: v[li] for k, v in params["layers"].items()}
+            xn = rms_norm(x, lyr["attn_norm"], cfg.rms_norm_eps)
+            q = (xn @ lyr["wq"]).reshape(1, T, cfg.num_heads, cfg.head_dim)
+            kv = (xn @ lyr["wkv"]).reshape(1, T, 2 * cfg.num_kv_heads, cfg.head_dim)
+            k, v = kv[:, :, : cfg.num_kv_heads], kv[:, :, cfg.num_kv_heads :]
+            q = apply_rope(q, pos, params["rope"])
+            k = apply_rope(k, pos, params["rope"])
+            a = dense_attention(q, k, v, causal=True)
+            x = x + (a.astype(x.dtype).reshape(1, T, -1)) @ lyr["wo"]
+            x = x + swiglu(rms_norm(x, lyr["ffn_norm"], cfg.rms_norm_eps),
+                           lyr["w_gate"], lyr["w_up"], lyr["w_down"])
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+        logits = x[0, -1] @ params["lm_head"]
+        tokens.append(int(jnp.argmax(logits)))
+    return tokens[len(prompt):]
+
+
+class TestEngineCorrectness:
+    def test_matches_dense_oracle(self, engine_factory):
+        """Greedy paged+chunked engine == naive full-recompute transformer."""
+        eng = engine_factory()
+        prompt = list(range(1, 21))
+        out = eng.generate([prompt], GREEDY)
+        ref = oracle_generate(eng.params, eng.config.model, prompt, 6)
+        assert out[0] == ref
+
+    def test_batching_invariance(self, engine_factory):
+        """A request's greedy output must not depend on its batch-mates."""
+        e1 = engine_factory()
+        alone = e1.generate([[5, 6, 7, 8]], GREEDY)[0]
+        e2 = LLMEngine(e1.config)  # fresh caches, same seed => same weights
+        together = e2.generate(
+            [[5, 6, 7, 8], list(range(30, 60)), [9, 9, 9]], GREEDY
+        )
+        assert together[0] == alone
+
+    def test_chunked_prefill_invariance(self, engine_factory):
+        """Tiny token budget (forces many chunks) == huge budget output."""
+        cfg_small = small_config(
+            scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=8)
+        )
+        cfg_big = small_config(
+            scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=512)
+        )
+        prompt = list(range(2, 50))
+        out_small = LLMEngine(cfg_small).generate([prompt], GREEDY)[0]
+        out_big = LLMEngine(cfg_big).generate([prompt], GREEDY)[0]
+        assert out_small == out_big
+
+    def test_prefill_determinism(self, engine_factory):
+        """Same prompt twice -> identical greedy outputs
+        (test_mini_vllm.py:299-320 idiom)."""
+        eng = engine_factory()
+        a = eng.generate([[3, 1, 4, 1, 5, 9, 2, 6]], GREEDY)
+        b = eng.generate([[3, 1, 4, 1, 5, 9, 2, 6]], GREEDY)
+        assert list(a.values())[0] == list(b.values())[0]
+
+    def test_int8_kv_close_to_fp32(self):
+        """INT8 KV greedy output stays close to fp32 (most tokens agree)."""
+        cfg8 = small_config(cache=CacheConfig(block_size=16, num_blocks=64, kv_quant="int8"))
+        cfg32 = small_config()
+        p = list(range(1, 25))
+        sp = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True)
+        t8 = LLMEngine(cfg8).generate([p], sp)[0]
+        t32 = LLMEngine(cfg32).generate([p], sp)[0]
+        agree = sum(a == b for a, b in zip(t8, t32))
+        assert agree >= 6, f"int8 {t8} vs fp32 {t32}"
+
+
+class TestEngineLifecycle:
+    def test_eos_stops(self, engine_factory):
+        eng = engine_factory()
+        # temperature 0 on random weights rarely hits eos=0; force eos to the
+        # greedy token of step 1 by generating once to learn it.
+        probe = eng.generate([[11, 12, 13]], GREEDY)[0]
+        eos = probe[1]
+        eng2 = LLMEngine(eng.config)
+        rid = eng2.add_request([11, 12, 13],
+                               SamplingParams(max_new_tokens=6, temperature=0.0,
+                                              eos_token_id=eos))
+        while eng2.has_unfinished:
+            eng2.step()
+        req = eng2.scheduler.requests[rid]
+        assert req.status == RequestStatus.FINISHED_STOPPED
+        assert req.output_token_ids[-1] == eos and len(req.output_token_ids) == 2
+
+    def test_max_new_tokens_finishes(self, engine_factory):
+        eng = engine_factory()
+        rid = eng.add_request([1, 2, 3], GREEDY)
+        while eng.has_unfinished:
+            eng.step()
+        req = eng.scheduler.requests[rid]
+        assert req.status == RequestStatus.FINISHED_LENGTH
+        assert len(req.output_token_ids) == 6
+        assert eng.kv_mgr.usage == 0.0  # everything freed
+
+    def test_abort(self, engine_factory):
+        eng = engine_factory()
+        rid = eng.add_request(list(range(1, 10)), GREEDY)
+        eng.step()
+        assert eng.abort_request(rid)
+        assert not eng.has_unfinished
+        assert eng.kv_mgr.usage == 0.0
+
+    def test_prefix_cache_reuse(self, engine_factory):
+        """Identical second prompt: same output, prefix hits recorded."""
+        eng = engine_factory()
+        p = list(range(1, 40))
+        first = eng.generate([p], GREEDY)
+        hits_before = eng.kv_mgr.hit_blocks
+        second = eng.generate([p], GREEDY)
+        assert list(first.values())[0] == list(second.values())[0]
+        assert eng.kv_mgr.hit_blocks > hits_before
+        assert eng.kv_mgr.hit_rate > 0
+
+    def test_preemption_recompute(self):
+        """A pool too small for two full requests still finishes both."""
+        cfg = small_config(
+            cache=CacheConfig(block_size=16, num_blocks=7, kv_quant="none",
+                              enable_prefix_caching=False),
+            scheduler=SchedulerConfig(max_num_seqs=2, max_num_batched_tokens=64,
+                                      enable_preemption=True),
+        )
+        eng = LLMEngine(cfg)
+        sp = SamplingParams(max_new_tokens=20, temperature=0.0, ignore_eos=True)
+        out = eng.generate([list(range(1, 40)), list(range(40, 80))], sp)
+        assert all(len(v) == 20 for v in out.values())
+        assert eng.scheduler.stats.num_preempted > 0
+
+
+# ---------------------------------------------------------------- scheduler-only
+
+class FakeKV(KVCacheManager):
+    pass
+
+
+def sched(max_tokens=32, max_seqs=4, chunked=True, blocks=256):
+    mgr = KVCacheManager(blocks, 16)
+    return Scheduler(
+        SchedulerConfig(max_num_seqs=max_seqs, max_num_batched_tokens=max_tokens,
+                        enable_chunked_prefill=chunked),
+        mgr,
+    )
+
+
+def req(i, n, max_new=4):
+    return Request(req_id=i, prompt_token_ids=list(range(1, n + 1)),
+                   sampling=SamplingParams(max_new_tokens=max_new, ignore_eos=True))
+
+
+class TestScheduler:
+    def test_token_budget_respected(self):
+        s = sched(max_tokens=32)
+        for i in range(4):
+            s.add_request(req(i, 30))
+        out = s.schedule()
+        assert sum(it.num_new_tokens for it in out) <= 32
+
+    def test_chunked_prefill_step_count(self):
+        """A 64-token prompt with budget 16 takes >= 4 prefill steps
+        (test_mini_vllm.py:117-136 idiom, fake-model update)."""
+        s = sched(max_tokens=16)
+        s.add_request(req(0, 64))
+        steps = 0
+        while s.requests[0].is_prefill:
+            out = s.schedule()
+            assert out and sum(it.num_new_tokens for it in out) <= 16
+            s.update(out, [7] * len(out))
+            steps += 1
+        assert steps >= 4
+
+    def test_no_chunking_requires_full_fit(self):
+        s = sched(max_tokens=16, chunked=False)
+        s.add_request(req(0, 64))
+        assert s.schedule() == []  # cannot admit: prompt > budget
+
+    def test_max_num_seqs_cap(self):
+        s = sched(max_tokens=512, max_seqs=2)
+        for i in range(5):
+            s.add_request(req(i, 8))
+        out = s.schedule()
+        assert len({it.request.req_id for it in out}) == 2
+
+    def test_slot_mapping_in_bounds(self):
+        s = sched(max_tokens=128, blocks=32)
+        s.add_request(req(0, 50))
+        out = s.schedule()
+        for it in out:
+            for slot in it.slots:
+                assert 16 <= slot < 32 * 16  # not in null block, within pool
+
+    def test_decode_phase_precedes_admission(self):
+        """Running decodes get budget before new admissions."""
+        s = sched(max_tokens=4, max_seqs=4)
+        s.add_request(req(0, 4))
+        out = s.schedule()
+        s.update(out, [7])
+        s.add_request(req(1, 4))
+        out2 = s.schedule()
+        assert out2[0].request.req_id == 0 and out2[0].num_new_tokens == 1
+
+    def test_fairness_fcfs(self):
+        s = sched(max_tokens=8, max_seqs=8)
+        s.add_request(req(0, 8))
+        s.add_request(req(1, 8))
+        out = s.schedule()
+        assert [it.request.req_id for it in out] == [0]  # budget exhausted by r0
+
+
+# ---------------------------------------------------------------- sampling stats
+
+class TestSamplingBehavior:
+    def test_temperature_spreads_support(self, engine_factory):
+        """Hot sampling visits more distinct tokens than greedy
+        (test_mini_vllm.py:195-211 idiom)."""
+        eng = engine_factory()
+        sp_hot = SamplingParams(max_new_tokens=30, temperature=2.0, ignore_eos=True)
+        hot = eng.generate([[1, 2, 3]], sp_hot)
+        greedy = LLMEngine(eng.config).generate(
+            [[1, 2, 3]], SamplingParams(max_new_tokens=30, temperature=0.0, ignore_eos=True)
+        )
+        assert len(set(list(hot.values())[0])) > len(set(list(greedy.values())[0]))
+
+    def test_top_p_narrows(self, engine_factory):
+        eng = engine_factory()
+        sp = SamplingParams(max_new_tokens=30, temperature=2.0, top_p=0.05, ignore_eos=True)
+        narrow = eng.generate([[1, 2, 3]], sp)
+        sp2 = SamplingParams(max_new_tokens=30, temperature=2.0, ignore_eos=True)
+        wide = LLMEngine(eng.config).generate([[1, 2, 3]], sp2)
+        assert len(set(list(narrow.values())[0])) <= len(set(list(wide.values())[0]))

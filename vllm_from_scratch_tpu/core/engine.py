@@ -1,0 +1,221 @@
+"""The serving engine: scheduler + jitted model step + sampler.
+
+Equivalent of the reference's ``MiniVLLM`` (ref: 05_mini_vllm/mini_vllm.py:
+641-783) with the TPU execution model:
+
+- One **jitted step function** per (batch, chunk, table-width) bucket —
+  shapes are padded up to powers of two so XLA compiles a handful of
+  programs and every later step replays them (the TPU analogue of CUDA
+  graphs, BLOG_PART3_V2.md:1630-1645).
+- The KV cache is a layer-stacked device array pytree **donated** through
+  the step, so pages update in place; the host never sees KV bytes.
+- The scheduler's Python output is staged into dense int32 numpy arrays;
+  pad tokens write to the null block and pad rows carry ctx_len 0.
+- Decode items and prefill chunks run as (at most) two bucketed calls per
+  step: decodes batch at Tq=1, prefill chunks at Tq=chunk-bucket, so decode
+  rows never pay chunk-width compute.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..models import transformer
+from ..models.transformer import ModelBatch
+from ..ops.sampling import make_sampling_state, sample
+from .config import EngineConfig, SamplingParams
+from .kv_cache_manager import KVCacheManager, cdiv
+from .request import Request, RequestStatus
+from .scheduler import ScheduledRequest, Scheduler
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+class LLMEngine:
+    def __init__(self, config: EngineConfig, params: Optional[dict] = None):
+        self.config = config
+        mcfg, ccfg = config.model, config.cache
+        self.block_size = ccfg.block_size
+
+        self.kv_mgr = KVCacheManager(
+            ccfg.num_blocks, ccfg.block_size, ccfg.enable_prefix_caching
+        )
+        self.scheduler = Scheduler(config.scheduler, self.kv_mgr)
+
+        key = jax.random.PRNGKey(config.seed)
+        pkey, self._rng = jax.random.split(key)
+        self.params = params if params is not None else transformer.init_params(pkey, mcfg)
+        self.cache = transformer.init_cache(
+            mcfg, ccfg.num_blocks, ccfg.block_size, ccfg.kv_quant
+        )
+
+        # Widest possible block table row (bucketed down per call).
+        self.max_blocks_per_seq = min(
+            cdiv(mcfg.max_position, ccfg.block_size), ccfg.num_blocks
+        )
+
+        def _step(params, cache, batch: ModelBatch, sstate, skey):
+            logits, cache = transformer.forward(
+                params, cache, batch, mcfg, block_size=ccfg.block_size
+            )
+            tokens = sample(logits, sstate, skey)
+            return tokens, cache
+
+        self._step_fn = jax.jit(_step, donate_argnums=(1,))
+
+        self._next_req_id = 0
+        # metrics
+        self.metrics: Dict[str, float] = {
+            "num_steps": 0,
+            "num_generated_tokens": 0,
+            "num_prefill_tokens": 0,
+        }
+        self._first_token_time: Dict[int, float] = {}
+        self._arrival: Dict[int, float] = {}
+
+    # ---- request API ---------------------------------------------------------
+
+    def add_request(
+        self,
+        prompt_token_ids: Sequence[int],
+        sampling: Optional[SamplingParams] = None,
+        priority: int = 0,
+    ) -> int:
+        assert len(prompt_token_ids) > 0, "empty prompt"
+        sp = sampling or SamplingParams()
+        assert (
+            len(prompt_token_ids) + sp.max_new_tokens <= self.config.model.max_position
+        ), "prompt + max_new_tokens exceeds max_position"
+        req_id = self._next_req_id
+        self._next_req_id += 1
+        req = Request(
+            req_id=req_id,
+            prompt_token_ids=list(prompt_token_ids),
+            sampling=sampling or SamplingParams(),
+            priority=priority,
+            arrival_time=time.monotonic(),
+        )
+        self._arrival[req_id] = req.arrival_time
+        self.scheduler.add_request(req)
+        return req_id
+
+    def abort_request(self, req_id: int) -> bool:
+        return self.scheduler.abort_request(req_id)
+
+    @property
+    def has_unfinished(self) -> bool:
+        return self.scheduler.has_unfinished
+
+    # ---- batch staging ---------------------------------------------------------
+
+    def _run_group(self, group: List[ScheduledRequest]) -> List[int]:
+        """Stage one bucketed model call; returns sampled token per item."""
+        B = len(group)
+        B_pad = _next_pow2(B)
+        T = max(it.num_new_tokens for it in group)
+        T_pad = _next_pow2(T)
+        n_blocks = max(len(it.request.block_ids) for it in group)
+        N_pad = min(_next_pow2(max(n_blocks, 1)), self.max_blocks_per_seq)
+
+        tokens = np.zeros((B_pad, T_pad), np.int32)
+        positions = np.zeros((B_pad, T_pad), np.int32)
+        slots = np.zeros((B_pad, T_pad), np.int32)
+        tables = np.zeros((B_pad, N_pad), np.int32)
+        ctx = np.zeros((B_pad,), np.int32)
+        qlens = np.zeros((B_pad,), np.int32)
+
+        for i, it in enumerate(group):
+            req, n, s0 = it.request, it.num_new_tokens, it.start_pos
+            all_ids = req.all_token_ids()
+            tokens[i, :n] = all_ids[s0 : s0 + n]
+            positions[i, :n] = np.arange(s0, s0 + n)
+            slots[i, :n] = it.slots
+            tables[i, : len(req.block_ids)] = req.block_ids
+            ctx[i] = s0 + n
+            qlens[i] = n
+
+        batch = ModelBatch(
+            tokens=tokens, positions=positions, slots=slots,
+            block_tables=tables, ctx_lens=ctx, q_lens=qlens,
+        )
+        sstate = make_sampling_state([it.request for it in group], B_pad)
+        self._rng, skey = jax.random.split(self._rng)
+        out_tokens, self.cache = self._step_fn(self.params, self.cache, batch, sstate, skey)
+        return [int(t) for t in np.asarray(out_tokens)[:B]]
+
+    # ---- the engine step ----------------------------------------------------------
+
+    def step(self) -> List[Tuple[int, int]]:
+        """One scheduling + forward + sample + update cycle.
+
+        Returns [(req_id, new_token)] emitted this step (mini_vllm.py:712-764).
+        """
+        scheduled = self.scheduler.schedule()
+        if not scheduled:
+            return []
+        prefill = [it for it in scheduled if it.num_new_tokens > 1]
+        decode = [it for it in scheduled if it.num_new_tokens == 1]
+
+        sampled: Dict[int, int] = {}
+        for group in (prefill, decode):
+            if group:
+                for it, tok in zip(group, self._run_group(group)):
+                    sampled[id(it)] = tok
+
+        emitted = self.scheduler.update(scheduled, [sampled[id(it)] for it in scheduled])
+
+        now = time.monotonic()
+        self.metrics["num_steps"] += 1
+        self.metrics["num_generated_tokens"] += len(emitted)
+        self.metrics["num_prefill_tokens"] += sum(
+            it.num_new_tokens for it in scheduled if it.num_new_tokens > 1
+        )
+        for rid, _ in emitted:
+            self._first_token_time.setdefault(rid, now)
+        return emitted
+
+    # ---- convenience front end -------------------------------------------------------
+
+    def generate(
+        self,
+        prompts: Sequence[Sequence[int]],
+        sampling: Optional[SamplingParams] = None,
+        max_steps: int = 100_000,
+    ) -> Dict[int, List[int]]:
+        """Submit prompts, run the loop to completion (mini_vllm.py:766-783)."""
+        ids = [self.add_request(p, sampling) for p in prompts]
+        outputs: Dict[int, List[int]] = {rid: [] for rid in ids}
+        steps = 0
+        while self.scheduler.has_unfinished and steps < max_steps:
+            for rid, tok in self.step():
+                if rid in outputs:
+                    outputs[rid].append(tok)
+            steps += 1
+        return outputs
+
+    # ---- observability ------------------------------------------------------------------
+
+    def ttft_seconds(self) -> List[float]:
+        return [
+            self._first_token_time[rid] - self._arrival[rid]
+            for rid in self._first_token_time
+            if rid in self._arrival
+        ]
+
+    def stats(self) -> Dict[str, float]:
+        return {
+            **self.metrics,
+            "kv_usage": self.kv_mgr.usage,
+            "prefix_hit_rate": self.kv_mgr.hit_rate,
+            "num_preempted": self.scheduler.stats.num_preempted,
+        }

@@ -1,0 +1,252 @@
+"""Continuous-batching scheduler: chunked prefill, prefix cache, preemption.
+
+Equivalent of the reference Scheduler (ref: 05_mini_vllm/mini_vllm.py:164-337)
+merged with the blog's richer preempting scheduler (BLOG_PART2.md:712-1030):
+
+- Per-step caps: ``max_num_batched_tokens`` token budget and ``max_num_seqs``
+  (mini_vllm.py:226-309), FCFS or priority policy (BLOG_PART2.md:853-858).
+- Phase order each step: running decodes (1 token) -> running prefill chunks
+  -> waiting admissions, exactly the reference's order so TTFT/fairness
+  behavior matches.
+- Chunked prefill: chunk = min(remaining_prompt, budget) (mini_vllm.py:254-274).
+- Admission runs the prefix-cache lookup once per (re)start; on a failed
+  admission the touched hit blocks are released again (see
+  KVCacheManager.get_computed_blocks contract).
+- Preemption-by-recompute when the pool runs dry: victimize the
+  latest-arrival / lowest-priority *running* request, free its blocks, reset
+  progress, push back to the head of waiting (BLOG_PART2.md:992-1015;
+  vLLM V1's default RECOMPUTE mode, BLOG_PART3_V2.md:1589-1625).
+
+The scheduler is host-side Python (the thin imperative shell); its output is
+plain ints that the engine turns into dense device arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from .config import SchedulerConfig
+from .kv_cache_manager import KVCacheManager
+from .request import Request, RequestStatus
+
+
+@dataclass
+class ScheduledRequest:
+    request: Request
+    num_new_tokens: int          # tokens computed this step (1 for decode)
+    start_pos: int               # num_computed_tokens at schedule time
+    slots: List[int] = field(default_factory=list)  # flat physical slots
+
+    @property
+    def is_decode(self) -> bool:
+        return self.num_new_tokens == 1 and not (
+            self.start_pos + 1 < self.request.num_prompt_tokens
+        )
+
+    @property
+    def produces_token(self) -> bool:
+        """True when this step computes through the last prompt token (or is
+        a decode) so the step's logits yield a real sampled token."""
+        return self.start_pos + self.num_new_tokens >= self.request.num_prompt_tokens
+
+
+@dataclass
+class SchedulerStats:
+    num_preempted: int = 0
+    num_scheduled_steps: int = 0
+    num_scheduled_tokens: int = 0
+
+
+class Scheduler:
+    def __init__(self, config: SchedulerConfig, kv_mgr: KVCacheManager):
+        self.config = config
+        self.kv = kv_mgr
+        self.waiting: List[Request] = []
+        self.running: List[Request] = []
+        self.requests: Dict[int, Request] = {}
+        self.stats = SchedulerStats()
+
+    # ---- queue ops ---------------------------------------------------------
+
+    def add_request(self, request: Request) -> None:
+        self.requests[request.req_id] = request
+        request.status = RequestStatus.WAITING
+        self.waiting.append(request)
+        if self.config.policy == "priority":
+            self.waiting.sort(key=lambda r: (r.priority, r.arrival_time))
+
+    def abort_request(self, req_id: int) -> bool:
+        req = self.requests.get(req_id)
+        if req is None or req.is_finished:
+            return False
+        req.status = RequestStatus.FINISHED_ABORTED
+        self.kv.free(req)
+        if req in self.waiting:
+            self.waiting.remove(req)
+        if req in self.running:
+            self.running.remove(req)
+        return True
+
+    @property
+    def has_unfinished(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    @property
+    def kv_cache_usage(self) -> float:
+        return self.kv.usage
+
+    # ---- preemption ---------------------------------------------------------
+
+    def _preempt_one(self, exclude: Request, protected: set) -> bool:
+        """Free the lowest-priority / latest-arrival running request.
+
+        Requests already scheduled this step are protected: preempting one
+        would invalidate its staged slots/start_pos mid-step."""
+        candidates = [
+            r for r in self.running if r is not exclude and r.req_id not in protected
+        ]
+        if not candidates:
+            return False
+        victim = max(candidates, key=lambda r: (r.priority, r.arrival_time, r.req_id))
+        self.running.remove(victim)
+        self.kv.free(victim)
+        victim.preempt()
+        self.waiting.insert(0, victim)
+        self.stats.num_preempted += 1
+        return True
+
+    def _allocate_with_preemption(
+        self, req: Request, n: int, protected: set
+    ) -> Optional[List[int]]:
+        while True:
+            got = self.kv.allocate_slots(req, n)
+            if got is not None:
+                return got
+            if not self.config.enable_preemption or not self._preempt_one(req, protected):
+                return None
+
+    # ---- the step ------------------------------------------------------------
+
+    def schedule(self) -> List[ScheduledRequest]:
+        budget = self.config.max_num_batched_tokens
+        scheduled: List[ScheduledRequest] = []
+        preempted_now: List[Request] = []
+        protected: set = set()  # req_ids staged this step — not preemptable
+
+        # Phase 1: running decodes — one token each.
+        for req in list(self.running):
+            if req.is_prefill or budget <= 0 or req.status is not RequestStatus.RUNNING:
+                continue
+            if self._allocate_with_preemption(req, 1, protected) is None:
+                # Could not make room even with preemption: preempt req itself.
+                self.running.remove(req)
+                self.kv.free(req)
+                req.preempt()
+                preempted_now.append(req)
+                self.stats.num_preempted += 1
+                continue
+            item = ScheduledRequest(req, 1, req.num_computed_tokens)
+            item.slots = self.kv.slot_mapping(req, item.start_pos, 1)
+            scheduled.append(item)
+            protected.add(req.req_id)
+            budget -= 1
+
+        # Phase 2: running prefills — next chunk.
+        for req in list(self.running):
+            if (not req.is_prefill or budget <= 0
+                    or req.status is not RequestStatus.RUNNING
+                    or req.req_id in protected):
+                continue
+            remaining = req.num_prompt_tokens - req.num_computed_tokens
+            chunk = min(remaining, budget) if self.config.enable_chunked_prefill else remaining
+            if chunk <= 0 or chunk > budget:
+                continue
+            if self._allocate_with_preemption(req, chunk, protected) is None:
+                continue
+            item = ScheduledRequest(req, chunk, req.num_computed_tokens)
+            item.slots = self.kv.slot_mapping(req, item.start_pos, chunk)
+            scheduled.append(item)
+            protected.add(req.req_id)
+            budget -= chunk
+
+        # Phase 3: admit waiting (FCFS / priority order).
+        while self.waiting and budget > 0 and len(self.running) < self.config.max_num_seqs:
+            req = self.waiting[0]
+            # Prefix-cache lookup on first computation only.
+            hits: List[int] = []
+            if req.num_computed_tokens == 0 and not req.block_ids:
+                hits, n_cached = self.kv.get_computed_blocks(req)
+                if hits:
+                    req.block_ids = list(hits)
+                    req.num_computed_tokens = n_cached
+                    req.num_cached_blocks = len(hits)
+            remaining = req.num_prompt_tokens - req.num_computed_tokens
+            chunk = min(remaining, budget) if self.config.enable_chunked_prefill else remaining
+            if chunk > budget:
+                # whole-prompt admission doesn't fit this step
+                self._rollback_admission(req, hits)
+                break
+            if self._allocate_with_preemption(req, chunk, protected) is None:
+                self._rollback_admission(req, hits)
+                break
+            self.waiting.pop(0)
+            req.status = RequestStatus.RUNNING
+            self.running.append(req)
+            item = ScheduledRequest(req, chunk, req.num_computed_tokens)
+            item.slots = self.kv.slot_mapping(req, item.start_pos, chunk)
+            scheduled.append(item)
+            protected.add(req.req_id)
+            budget -= chunk
+
+        # Preempted-in-phase-1 requests rejoin the waiting queue head.
+        for req in preempted_now:
+            self.waiting.insert(0, req)
+
+        self.stats.num_scheduled_steps += 1
+        self.stats.num_scheduled_tokens += sum(s.num_new_tokens for s in scheduled)
+        return scheduled
+
+    def _rollback_admission(self, req: Request, hits: List[int]) -> None:
+        """Undo a prefix-cache touch when admission fails (blocks stay cached)."""
+        if hits:
+            self.kv.pool.free_blocks(list(reversed(hits)))
+            req.block_ids = []
+            req.num_computed_tokens = 0
+            req.num_cached_blocks = 0
+
+    # ---- post-forward update ---------------------------------------------------
+
+    def update(
+        self, scheduled: List[ScheduledRequest], sampled_tokens: List[int]
+    ) -> List[tuple]:
+        """Advance request state with this step's sampled tokens.
+
+        Returns [(req_id, token)] for requests that emitted a token.
+        Mirrors mini_vllm.py:312-337: a token counts only when the step
+        computed through the end of the prompt (or was a decode); finish on
+        EOS or max_new_tokens; blocks freed on finish.
+        """
+        emitted = []
+        for item, tok in zip(scheduled, sampled_tokens):
+            req = item.request
+            if req.is_finished:  # aborted mid-step
+                continue
+            req.num_computed_tokens += item.num_new_tokens
+            if not item.produces_token:
+                self.kv.cache_blocks(req)
+                continue
+            req.output_token_ids.append(int(tok))
+            emitted.append((req.req_id, int(tok)))
+            sp = req.sampling
+            if not sp.ignore_eos and int(tok) == sp.eos_token_id:
+                req.status = RequestStatus.FINISHED_STOPPED
+            elif len(req.output_token_ids) >= sp.max_new_tokens:
+                req.status = RequestStatus.FINISHED_LENGTH
+            if req.is_finished:
+                self.kv.cache_blocks(req)
+                self.kv.free(req)
+                self.running.remove(req)
+            else:
+                self.kv.cache_blocks(req)
+        return emitted

@@ -1,0 +1,136 @@
+"""Paged MHA/GQA transformer — the engine's base model family.
+
+Equivalent of the reference's SelfAttention / FFN / TransformerLayer /
+MiniTransformer stack (ref: 05_mini_vllm/mini_vllm.py:344-585), redesigned
+for XLA:
+
+- Pure function over a param pytree; per-layer weights are **stacked on a
+  leading layer axis** and the layer loop is a single ``lax.scan`` — compile
+  time is O(1) in depth, and the KV cache scans alongside as the carry's xs.
+- The batch is a dense [B, Tq] grid + int32 metadata (slot mapping, block
+  tables, ctx/q lens); ragged requests are expressed by padding, never by
+  the per-request Python loop the reference uses (mini_vllm.py:429-486).
+- Attention always reads through the paged INT8 cache via the block table —
+  fixing the reference's decode shortcut that reads the first N slots of the
+  whole cache (mini_vllm.py:468-473, acknowledged there as imprecise).
+- Logits are produced only at each request's last scheduled position
+  (mini_vllm.py:576-585).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ModelConfig
+from ..ops.attention import KVCache, init_kv_cache, paged_attention, write_kv_cache
+from ..ops.rotary import apply_rope, make_rope_table
+from .layers import init_linear, rms_norm, swiglu
+
+
+class ModelBatch(NamedTuple):
+    """One step's device-side inputs (all padded to bucket shapes).
+
+    Padding conventions: pad tokens -> id 0 with slot 0 (null block); pad
+    rows -> ctx_len 0, q_len 0, block table all-null.
+    """
+
+    tokens: jax.Array        # [B, T] int32
+    positions: jax.Array     # [B, T] int32
+    slots: jax.Array         # [B, T] int32 flat slot ids
+    block_tables: jax.Array  # [B, N] int32
+    ctx_lens: jax.Array      # [B] int32  (history + this chunk)
+    q_lens: jax.Array        # [B] int32  (actual new tokens, <= T)
+
+
+def init_params(key: jax.Array, cfg: ModelConfig) -> dict:
+    H, D = cfg.hidden_size, cfg.head_dim
+    Hq, Hkv, F, L = cfg.num_heads, cfg.num_kv_heads, cfg.ffn_dim, cfg.num_layers
+    dt = jnp.dtype(cfg.dtype)
+    keys = jax.random.split(key, 8)
+
+    def stack(k, shape):
+        return (0.02 * jax.random.normal(k, (L, *shape))).astype(dt)
+
+    return {
+        "embed": init_linear(keys[0], cfg.vocab_size, H, dt),
+        "layers": {
+            "attn_norm": jnp.ones((L, H), dt),
+            "ffn_norm": jnp.ones((L, H), dt),
+            "wq": stack(keys[1], (H, Hq * D)),
+            "wkv": stack(keys[2], (H, 2 * Hkv * D)),
+            "wo": stack(keys[3], (Hq * D, H)),
+            "w_gate": stack(keys[4], (H, F)),
+            "w_up": stack(keys[5], (H, F)),
+            "w_down": stack(keys[6], (F, H)),
+        },
+        "final_norm": jnp.ones((H,), dt),
+        "lm_head": init_linear(keys[7], H, cfg.vocab_size, dt),
+        "rope": make_rope_table(cfg.max_position, D, cfg.rope_theta),
+    }
+
+
+def init_cache(cfg: ModelConfig, num_blocks: int, block_size: int, kv_quant: str) -> KVCache:
+    """Layer-stacked paged cache: arrays carry a leading [L] axis and are
+    sliced per layer by the scan."""
+    per_layer = init_kv_cache(
+        num_blocks, block_size, cfg.num_kv_heads, cfg.head_dim, kv_quant, jnp.dtype(cfg.dtype)
+    )
+    return KVCache(*[jnp.broadcast_to(a, (cfg.num_layers, *a.shape)).copy() for a in per_layer])
+
+
+def forward(
+    params: dict,
+    cache: KVCache,
+    batch: ModelBatch,
+    cfg: ModelConfig,
+    *,
+    block_size: int,
+) -> tuple[jax.Array, KVCache]:
+    """Run the model; returns (last-position logits [B, V], updated cache)."""
+    B, T = batch.tokens.shape
+    x = params["embed"][batch.tokens]  # [B, T, H]
+    rope = params["rope"]
+
+    def layer_step(h, xs):
+        layer, cache_l = xs
+        a, cache_l = _attn(layer, cache_l, h, batch, cfg, rope, block_size)
+        h = h + a
+        h = h + swiglu(rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps),
+                       layer["w_gate"], layer["w_up"], layer["w_down"])
+        return h, cache_l
+
+    x, new_cache = jax.lax.scan(layer_step, x, (params["layers"], cache))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+    # Gather each request's last valid position (q_len-1; pad rows read 0).
+    last = jnp.maximum(batch.q_lens - 1, 0)  # [B]
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]  # [B, H]
+    logits = (x_last @ params["lm_head"]).astype(jnp.float32)
+    return logits, new_cache
+
+
+def _attn(layer, cache_l, h, batch, cfg, rope, block_size):
+    """Pre-norm attention block with paged KV read/write."""
+    B, T, H = h.shape
+    D, Hq, Hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    x = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
+    q = (x @ layer["wq"]).reshape(B, T, Hq, D)
+    kv = (x @ layer["wkv"]).reshape(B, T, 2 * Hkv, D)
+    k, v = kv[:, :, :Hkv], kv[:, :, Hkv:]
+    q = apply_rope(q, batch.positions, rope)
+    k = apply_rope(k, batch.positions, rope)
+
+    cache_l = write_kv_cache(
+        cache_l,
+        k.reshape(B * T, Hkv, D),
+        v.reshape(B * T, Hkv, D),
+        batch.slots.reshape(B * T),
+    )
+    out = paged_attention(
+        q, cache_l, batch.block_tables, batch.ctx_lens, batch.q_lens,
+        block_size=block_size,
+    )
+    return (out.astype(h.dtype).reshape(B, T, Hq * D)) @ layer["wo"], cache_l
