@@ -37,8 +37,9 @@ class ModelConfig:
     # MLA (kv_lora_rank > 0 enables latent attention).  ref: 04_mla/mini_mla.py:139-201
     kv_lora_rank: int = 0
     qk_rope_head_dim: int = 0
-    q_lora_rank: int = 0
-    v_head_dim: int = 0
+    qk_nope_head_dim: int = 0  # 0 => head_dim
+    q_lora_rank: int = 0       # 0 => num_heads * qk_head_dim // 4 (mini_mla.py:174-177)
+    v_head_dim: int = 0        # 0 => head_dim
 
     @property
     def head_dim(self) -> int:

@@ -1,4 +1,4 @@
-"""Paged MHA/GQA transformer — the engine's base model family.
+"""Paged transformer — the engine's model family (MHA/GQA, MLA, MoE).
 
 Equivalent of the reference's SelfAttention / FFN / TransformerLayer /
 MiniTransformer stack (ref: 05_mini_vllm/mini_vllm.py:344-585), redesigned
@@ -26,7 +26,10 @@ import jax.numpy as jnp
 
 from ..core.config import ModelConfig
 from ..ops.attention import KVCache, init_kv_cache, paged_attention, write_kv_cache
+from ..ops.mla_attention import init_mla_cache
 from ..ops.rotary import apply_rope, make_rope_table
+from . import mla as mla_mod
+from . import moe as moe_mod
 from .layers import init_linear, rms_norm, swiglu
 
 
@@ -49,36 +52,64 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> dict:
     H, D = cfg.hidden_size, cfg.head_dim
     Hq, Hkv, F, L = cfg.num_heads, cfg.num_kv_heads, cfg.ffn_dim, cfg.num_layers
     dt = jnp.dtype(cfg.dtype)
-    keys = jax.random.split(key, 8)
+    keys = jax.random.split(key, 10)
 
     def stack(k, shape):
         return (0.02 * jax.random.normal(k, (L, *shape))).astype(dt)
 
-    return {
-        "embed": init_linear(keys[0], cfg.vocab_size, H, dt),
-        "layers": {
+    # Attention family.
+    if cfg.is_mla:
+        layers = mla_mod.init_mla_layer_params(keys[1], cfg, L, dt)
+        layers["attn_norm"] = jnp.ones((L, H), dt)
+        rope_dim = cfg.qk_rope_head_dim
+    else:
+        layers = {
             "attn_norm": jnp.ones((L, H), dt),
-            "ffn_norm": jnp.ones((L, H), dt),
             "wq": stack(keys[1], (H, Hq * D)),
             "wkv": stack(keys[2], (H, 2 * Hkv * D)),
             "wo": stack(keys[3], (Hq * D, H)),
-            "w_gate": stack(keys[4], (H, F)),
-            "w_up": stack(keys[5], (H, F)),
-            "w_down": stack(keys[6], (F, H)),
-        },
+        }
+        rope_dim = D
+    layers["ffn_norm"] = jnp.ones((L, H), dt)
+
+    # FFN family.
+    if cfg.is_moe:
+        mkeys = jax.random.split(keys[4], L)
+        moe_stack = [
+            moe_mod.init_moe_params(
+                mkeys[i], H, F, cfg.num_experts, cfg.num_shared_experts, dt
+            )
+            for i in range(L)
+        ]
+        layers["moe"] = jax.tree.map(lambda *xs: jnp.stack(xs), *moe_stack)
+    else:
+        layers["w_gate"] = stack(keys[4], (H, F))
+        layers["w_up"] = stack(keys[5], (H, F))
+        layers["w_down"] = stack(keys[6], (F, H))
+
+    return {
+        "embed": init_linear(keys[0], cfg.vocab_size, H, dt),
+        "layers": layers,
         "final_norm": jnp.ones((H,), dt),
         "lm_head": init_linear(keys[7], H, cfg.vocab_size, dt),
-        "rope": make_rope_table(cfg.max_position, D, cfg.rope_theta),
+        "rope": make_rope_table(cfg.max_position, rope_dim, cfg.rope_theta),
     }
 
 
-def init_cache(cfg: ModelConfig, num_blocks: int, block_size: int, kv_quant: str) -> KVCache:
+def init_cache(cfg: ModelConfig, num_blocks: int, block_size: int, kv_quant: str):
     """Layer-stacked paged cache: arrays carry a leading [L] axis and are
-    sliced per layer by the scan."""
-    per_layer = init_kv_cache(
-        num_blocks, block_size, cfg.num_kv_heads, cfg.head_dim, kv_quant, jnp.dtype(cfg.dtype)
-    )
-    return KVCache(*[jnp.broadcast_to(a, (cfg.num_layers, *a.shape)).copy() for a in per_layer])
+    sliced per layer by the scan.  MLA models cache (c_kv | k_rope) latents
+    instead of per-head K/V."""
+    if cfg.is_mla:
+        dn, dr, dv, r, _ = mla_mod.mla_dims(cfg)
+        per_layer = init_mla_cache(num_blocks, block_size, r, dr, kv_quant, jnp.dtype(cfg.dtype))
+    else:
+        per_layer = init_kv_cache(
+            num_blocks, block_size, cfg.num_kv_heads, cfg.head_dim, kv_quant,
+            jnp.dtype(cfg.dtype),
+        )
+    stacked = [jnp.broadcast_to(a, (cfg.num_layers, *a.shape)).copy() for a in per_layer]
+    return type(per_layer)(*stacked)
 
 
 def forward(
@@ -96,10 +127,27 @@ def forward(
 
     def layer_step(h, xs):
         layer, cache_l = xs
-        a, cache_l = _attn(layer, cache_l, h, batch, cfg, rope, block_size)
+        if cfg.is_mla:
+            a, cache_l = mla_mod.mla_attention_block(
+                layer, cache_l, h, batch, cfg, rope, block_size=block_size
+            )
+        else:
+            a, cache_l = _attn(layer, cache_l, h, batch, cfg, rope, block_size)
         h = h + a
-        h = h + swiglu(rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps),
-                       layer["w_gate"], layer["w_up"], layer["w_down"])
+        xn = rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps)
+        if cfg.is_moe:
+            m = layer["moe"]
+            f, _aux = moe_mod.moe_ffn(
+                xn.reshape(-1, xn.shape[-1]),
+                m["gate"], m["w_gate"], m["w_up"], m["w_down"],
+                top_k=cfg.top_k, num_groups=cfg.num_groups,
+                topk_group=cfg.topk_group,
+                shared=m.get("shared"),
+                aux_loss_coeff=cfg.aux_loss_coeff,
+            )
+            h = h + f.reshape(h.shape)
+        else:
+            h = h + swiglu(xn, layer["w_gate"], layer["w_up"], layer["w_down"])
         return h, cache_l
 
     x, new_cache = jax.lax.scan(layer_step, x, (params["layers"], cache))
