@@ -59,14 +59,25 @@ class LLMEngine:
             mcfg, ccfg.num_blocks, ccfg.block_size, ccfg.kv_quant
         )
 
+        # Multi-chip: build the mesh and lay out params/cache (GSPMD).
+        self.mesh = None
+        if config.parallel.world_size > 1:
+            from ..parallel import sharding as shd
+
+            self.mesh = shd.make_mesh(config.parallel)
+            self.params = shd.shard_params(self.params, mcfg, self.mesh)
+            self.cache = shd.shard_cache(self.cache, mcfg, self.mesh)
+
         # Widest possible block table row (bucketed down per call).
         self.max_blocks_per_seq = min(
             cdiv(mcfg.max_position, ccfg.block_size), ccfg.num_blocks
         )
 
+        mesh = self.mesh
+
         def _step(params, cache, batch: ModelBatch, sstate, skey):
             logits, cache = transformer.forward(
-                params, cache, batch, mcfg, block_size=ccfg.block_size
+                params, cache, batch, mcfg, block_size=ccfg.block_size, mesh=mesh
             )
             tokens = sample(logits, sstate, skey)
             return tokens, cache
@@ -121,7 +132,9 @@ class LLMEngine:
     def _run_group(self, group: List[ScheduledRequest]) -> List[int]:
         """Stage one bucketed model call; returns sampled token per item."""
         B = len(group)
-        B_pad = _next_pow2(B)
+        # Bucket the batch to dp * pow2 so rows shard evenly over "dp".
+        dp = self.config.parallel.dp_size
+        B_pad = dp * _next_pow2(cdiv(B, dp))
         T = max(it.num_new_tokens for it in group)
         T_pad = _next_pow2(T)
         n_blocks = max(len(it.request.block_ids) for it in group)
@@ -148,6 +161,10 @@ class LLMEngine:
             tokens=tokens, positions=positions, slots=slots,
             block_tables=tables, ctx_lens=ctx, q_lens=qlens,
         )
+        if self.mesh is not None and self.config.parallel.dp_size > 1:
+            from ..parallel import sharding as shd
+
+            batch = jax.device_put(batch, shd.batch_shardings(self.mesh))
         sstate = make_sampling_state([it.request for it in group], B_pad)
         self._rng, skey = jax.random.split(self._rng)
         out_tokens, self.cache = self._step_fn(self.params, self.cache, batch, sstate, skey)

@@ -117,33 +117,44 @@ def moe_ffn(
     shared: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,  # (wg, wu, wd)
     aux_loss_coeff: float = 0.01,
     expert_mask: Optional[jax.Array] = None,  # [E] bool — EP local-expert slice
+    expert_offset=None,       # int/traced — first global expert id held locally
+    num_global_experts: Optional[int] = None,  # E_global when weights are a local slice
 ) -> Tuple[jax.Array, jax.Array]:
     """Full MoE layer: route -> sort -> grouped GEMM -> weighted scatter-add.
 
-    Returns (out [T, D], aux_loss * coeff).  ``expert_mask`` restricts compute
-    to a local expert slice (the SimulatedEPMoELayer semantics,
-    mini_moe.py:295-359): masked-out assignments contribute zero and the
-    caller is responsible for the cross-rank reduction.
+    Returns (out [T, D], aux_loss * coeff).  Two EP forms (SimulatedEPMoELayer
+    semantics, mini_moe.py:295-359 — caller owns the cross-rank reduction):
+    - ``expert_mask`` [E] bool with full weight arrays: masked-out assignments
+      contribute zero.
+    - ``expert_offset`` + ``num_global_experts`` with *local slice* weight
+      arrays [E_local, ...]: the form shard_map uses, where each rank holds
+      only its experts (parallel/ep.py).  ``gate_w`` stays global [D, E].
     """
     T, D = x.shape
-    E = gate_w.shape[-1]
+    E_global = num_global_experts or gate_w.shape[-1]
+    E_local = w_gate.shape[0]
     r = route(x @ gate_w, top_k, num_groups, topk_group)
 
     K = r.ids.shape[1]
     flat_ids = r.ids.reshape(T * K)
     flat_w = r.weights.reshape(T * K)
-    if expert_mask is not None:
-        # Route masked assignments to a parking expert id E (sorted last) with
-        # zero weight; group_sizes only counts 0..E-1 so they never hit a GEMM
-        # segment — they fall into ragged_dot's zero-filled tail.
+    if expert_offset is not None:
+        # Shift global ids into the local slice; park non-local assignments at
+        # id E_local (sorted last) with zero weight — group_sizes only counts
+        # 0..E_local-1, so they land in ragged_dot's zero-filled tail.
+        local_ids = flat_ids - expert_offset
+        is_local = (local_ids >= 0) & (local_ids < E_local)
+        flat_w = jnp.where(is_local, flat_w, 0.0)
+        flat_ids = jnp.where(is_local, local_ids, E_local)
+    elif expert_mask is not None:
         local = expert_mask[flat_ids]
         flat_w = jnp.where(local, flat_w, 0.0)
-        flat_ids = jnp.where(local, flat_ids, E)
+        flat_ids = jnp.where(local, flat_ids, E_local)
 
     order = jnp.argsort(flat_ids)                      # stable
     token_idx = order // K                             # source token per slot
     sorted_ids = flat_ids[order]
-    group_sizes = jnp.bincount(sorted_ids, length=E)
+    group_sizes = jnp.bincount(sorted_ids, length=E_local)
 
     x_rep = x[token_idx]                               # [M, D] sorted by expert
     y = grouped_expert_ffn(x_rep.astype(w_gate.dtype), group_sizes, w_gate, w_up, w_down)

@@ -119,8 +119,13 @@ def forward(
     cfg: ModelConfig,
     *,
     block_size: int,
+    mesh=None,
 ) -> tuple[jax.Array, KVCache]:
-    """Run the model; returns (last-position logits [B, V], updated cache)."""
+    """Run the model; returns (last-position logits [B, V], updated cache).
+
+    ``mesh``: optional jax.sharding.Mesh — when its "tp" axis is >1 and the
+    model is MoE, expert compute runs under shard_map EP (parallel/ep.py);
+    everything else parallelizes declaratively via GSPMD shardings."""
     B, T = batch.tokens.shape
     x = params["embed"][batch.tokens]  # [B, T, H]
     rope = params["rope"]
@@ -137,15 +142,24 @@ def forward(
         xn = rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps)
         if cfg.is_moe:
             m = layer["moe"]
-            f, _aux = moe_mod.moe_ffn(
-                xn.reshape(-1, xn.shape[-1]),
-                m["gate"], m["w_gate"], m["w_up"], m["w_down"],
-                top_k=cfg.top_k, num_groups=cfg.num_groups,
-                topk_group=cfg.topk_group,
-                shared=m.get("shared"),
-                aux_loss_coeff=cfg.aux_loss_coeff,
-            )
-            h = h + f.reshape(h.shape)
+            xf = xn.reshape(-1, xn.shape[-1])
+            if mesh is not None and mesh.shape.get("tp", 1) > 1:
+                from ..parallel.ep import ep_moe_ffn
+
+                f = ep_moe_ffn(xf, m, cfg, mesh)
+                if "shared" in m:  # dense shared expert stays under GSPMD
+                    wg, wu, wd = m["shared"]
+                    f = f + (jax.nn.silu(xf @ wg) * (xf @ wu)) @ wd
+            else:
+                f, _aux = moe_mod.moe_ffn(
+                    xf,
+                    m["gate"], m["w_gate"], m["w_up"], m["w_down"],
+                    top_k=cfg.top_k, num_groups=cfg.num_groups,
+                    topk_group=cfg.topk_group,
+                    shared=m.get("shared"),
+                    aux_loss_coeff=cfg.aux_loss_coeff,
+                )
+            h = h + f.reshape(h.shape).astype(h.dtype)
         else:
             h = h + swiglu(xn, layer["w_gate"], layer["w_up"], layer["w_down"])
         return h, cache_l

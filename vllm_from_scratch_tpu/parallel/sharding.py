@@ -1,0 +1,137 @@
+"""Device mesh + GSPMD shardings: DP x TP (with EP riding the TP axis).
+
+The reference documents NCCL TP/EP and leaves the collectives as comments
+(ref: BLOG_PART2_V2.md:322-380 TP KV sharding; 03_moe/mini_moe.py:356-357 EP
+AllReduce).  TPU-natively, parallelism is *declared*, not programmed
+(SNIPPETS.md [3] pattern; the scaling-book recipe):
+
+- a 2-D logical mesh ``("dp", "tp")`` over the chips;
+- ``NamedSharding`` annotations on the param / KV-cache / batch pytrees
+  (Megatron-style: attention heads and FFN columns on "tp", row-parallel
+  outputs reduced by the compiler-inserted psum over ICI);
+- ``jax.jit`` compiles the step with those shardings; XLA places the
+  collectives.
+
+Expert parallelism is the one explicitly-programmed collective: experts are
+sharded over "tp" and the MoE layer runs under ``shard_map`` — each rank
+computes its local expert slice (moe.moe_ffn with expert_offset) and a
+``psum`` over "tp" plays the role of the reference's missing AllReduce.
+Activations stay replicated over "tp" inside the layer, so no all_to_all is
+required for correctness; token-sharded all_to_all dispatch is a later
+bandwidth optimization.
+
+KV cache sharding: MHA K/V pages on the kv-head axis over "tp"
+(BLOG_PART2_V2.md:322-380's per-rank KV shards, block table global); the MLA
+latent cache is head-less and replicated (the TPLA alternative is noted in
+PAPERS.md).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.config import ModelConfig, ParallelConfig
+
+
+def make_mesh(parallel: ParallelConfig, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = parallel.dp_size * parallel.tp_size
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    dev = np.asarray(devices[:n]).reshape(parallel.dp_size, parallel.tp_size)
+    return Mesh(dev, ("dp", "tp"))
+
+
+def _ns(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+def param_shardings(cfg: ModelConfig, mesh: Mesh) -> dict:
+    """NamedSharding pytree matching models.transformer.init_params.
+
+    Megatron TP layout; every per-layer array keeps its leading [L] axis
+    unsharded (the scan axis).
+    """
+    rep = _ns(mesh)
+    if cfg.is_mla:
+        layers = {
+            "attn_norm": rep,
+            "q_a": rep,                     # [L, H, qr] small; replicate
+            "q_a_norm": rep,
+            "q_b": _ns(mesh, None, None, "tp"),   # heads on out dim
+            "kv_a": rep,                    # latents are shared-head
+            "kv_norm": rep,
+            "kv_b": _ns(mesh, None, None, "tp"),  # per-head expansion
+            "wo": _ns(mesh, None, "tp", None),    # row-parallel -> psum
+        }
+    else:
+        layers = {
+            "attn_norm": rep,
+            "wq": _ns(mesh, None, None, "tp"),    # [L, H, Hq*D] col-parallel
+            "wkv": _ns(mesh, None, None, "tp"),
+            "wo": _ns(mesh, None, "tp", None),    # row-parallel -> psum
+        }
+    layers["ffn_norm"] = rep
+    if cfg.is_moe:
+        layers["moe"] = {
+            "gate": rep,                          # router gate replicated
+            "w_gate": _ns(mesh, None, "tp", None, None),  # [L, E, D, F] experts on tp
+            "w_up": _ns(mesh, None, "tp", None, None),
+            "w_down": _ns(mesh, None, "tp", None, None),
+        }
+        if cfg.num_shared_experts > 0:
+            layers["moe"]["shared"] = (
+                _ns(mesh, None, None, "tp"),      # [L, D, Fs] col-parallel
+                _ns(mesh, None, None, "tp"),
+                _ns(mesh, None, "tp", None),      # row-parallel
+            )
+    else:
+        layers["w_gate"] = _ns(mesh, None, None, "tp")
+        layers["w_up"] = _ns(mesh, None, None, "tp")
+        layers["w_down"] = _ns(mesh, None, "tp", None)
+    return {
+        "embed": rep,
+        "layers": layers,
+        "final_norm": rep,
+        "lm_head": _ns(mesh, None, "tp"),         # vocab col-parallel
+        "rope": rep,
+    }
+
+
+def cache_shardings(cfg: ModelConfig, mesh: Mesh):
+    """Sharding pytree for the layer-stacked KV cache."""
+    from ..ops.attention import KVCache
+    from ..ops.mla_attention import MLACache
+
+    if cfg.is_mla:
+        rep = _ns(mesh)
+        return MLACache(c=rep, kr=rep, c_scale=rep, kr_scale=rep)
+    return KVCache(
+        k=_ns(mesh, None, None, "tp", None),      # [L, slots, Hkv, D]
+        v=_ns(mesh, None, None, "tp", None),
+        k_scale=_ns(mesh, None, None, "tp"),
+        v_scale=_ns(mesh, None, None, "tp"),
+    )
+
+
+def batch_shardings(mesh: Mesh):
+    """ModelBatch rows sharded over dp; per-row metadata likewise."""
+    from ..models.transformer import ModelBatch
+
+    row = _ns(mesh, "dp")
+    grid = _ns(mesh, "dp", None)
+    return ModelBatch(
+        tokens=grid, positions=grid, slots=grid,
+        block_tables=grid, ctx_lens=row, q_lens=row,
+    )
+
+
+def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
+    return jax.device_put(params, param_shardings(cfg, mesh))
+
+
+def shard_cache(cache, cfg: ModelConfig, mesh: Mesh):
+    return jax.device_put(cache, cache_shardings(cfg, mesh))
