@@ -1,0 +1,103 @@
+"""Headline benchmark: decode tokens/s/chip, INT8 KV, MLA+MoE mini model.
+
+Mirrors the reference's benchmark_throughput harness (ref: 05_mini_vllm/
+mini_vllm.py:894-974: toy model vocab 1000 / hidden 256 / 4 layers / 4 heads,
+16 concurrent requests) but on the BASELINE.json flagship: a DeepSeek-style
+MLA + grouped-MoE model with an INT8 latent KV cache.
+
+Baseline to beat: the reference reports ~400-500 tok/s for its toy model on
+an RTX PRO 6000 (BLOG_PART3_V2.md:1854-1866); vs_baseline uses 450.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_TOKS_PER_S = 450.0
+
+
+def build_engine():
+    from vllm_from_scratch_tpu.core.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        SchedulerConfig,
+    )
+    from vllm_from_scratch_tpu.core.engine import LLMEngine
+
+    cfg = EngineConfig(
+        model=ModelConfig(
+            vocab_size=1000, hidden_size=256, num_layers=4,
+            num_heads=4, num_kv_heads=4, max_position=1024,
+            intermediate_size=256,
+            kv_lora_rank=64, qk_rope_head_dim=16, qk_nope_head_dim=64,
+            v_head_dim=64,
+            num_experts=8, top_k=2, num_shared_experts=1,
+            dtype="bfloat16",
+        ),
+        cache=CacheConfig(block_size=16, num_blocks=512, kv_quant="int8"),
+        scheduler=SchedulerConfig(max_num_seqs=16, max_num_batched_tokens=1024,
+                                  decode_steps=64),
+    )
+    return LLMEngine(cfg)
+
+
+def run(num_requests=16, prompt_len=64, new_tokens=128):
+    from vllm_from_scratch_tpu.core.config import SamplingParams
+
+    eng = build_engine()
+    rng = np.random.RandomState(0)
+    sp = SamplingParams(max_new_tokens=new_tokens, temperature=1.0, top_p=0.95,
+                        ignore_eos=True)
+
+    # Warmup: compile every bucket the measured run will use.
+    warm = [list(rng.randint(1, 999, prompt_len)) for _ in range(num_requests)]
+    eng.generate(warm, sp, max_steps=new_tokens + 40)
+
+    prompts = [list(rng.randint(1, 999, prompt_len)) for _ in range(num_requests)]
+    submit = time.perf_counter()
+    ids = [eng.add_request(p, sp) for p in prompts]
+    first_token = {}
+    done = 0
+    decode_t0 = None
+    decode_tokens = 0
+    while eng.has_unfinished:
+        emitted = eng.step()
+        now = time.perf_counter()
+        for rid, _tok in emitted:
+            if rid in ids and rid not in first_token:
+                first_token[rid] = now - submit
+        if emitted and len(first_token) == len(ids):
+            if decode_t0 is None:
+                decode_t0 = now
+                decode_tokens = 0
+            else:
+                decode_tokens += len(emitted)
+    total_time = time.perf_counter() - submit
+    decode_time = time.perf_counter() - decode_t0 if decode_t0 else total_time
+
+    gen_tokens = num_requests * new_tokens
+    decode_tps = decode_tokens / decode_time if decode_time > 0 else 0.0
+    ttft = sorted(first_token.values())
+    return {
+        "metric": "decode_tokens_per_s_per_chip_int8kv_mla_moe",
+        "value": round(decode_tps, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(decode_tps / BASELINE_TOKS_PER_S, 3),
+        "total_tokens_per_s": round(gen_tokens / total_time, 1),
+        "p50_ttft_ms": round(1000 * ttft[len(ttft) // 2], 1),
+        "prefix_cache_hit_rate": round(eng.kv_mgr.hit_rate, 3),
+        "num_requests": num_requests,
+        "prompt_len": prompt_len,
+        "new_tokens": new_tokens,
+        "kv_usage_peak_approx": round(eng.kv_mgr.usage, 3),
+        "backend": __import__("jax").default_backend(),
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

@@ -294,3 +294,53 @@ class TestSamplingBehavior:
         sp2 = SamplingParams(max_new_tokens=30, temperature=2.0, ignore_eos=True)
         wide = LLMEngine(eng.config).generate([[1, 2, 3]], sp2)
         assert len(set(list(narrow.values())[0])) <= len(set(list(wide.values())[0]))
+
+
+class TestMultiStepDecode:
+    """decode_steps > 1: K autoregressive iterations per jitted call
+    (the TPU answer to per-step host sync; vLLM's num-scheduler-steps)."""
+
+    def _cfg(self, K, max_new=13):
+        return small_config(
+            scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64,
+                                      decode_steps=K),
+        )
+
+    def test_k8_matches_k1(self):
+        sp = SamplingParams(max_new_tokens=13, temperature=0.0, ignore_eos=True)
+        prompts = [list(range(1, 21)), [7, 8, 9], list(range(40, 70))]
+        o1 = LLMEngine(self._cfg(1)).generate(prompts, sp)
+        o8 = LLMEngine(self._cfg(8)).generate(prompts, sp)
+        assert o1 == o8
+
+    def test_eos_mid_macro_truncates(self):
+        sp = SamplingParams(max_new_tokens=13, temperature=0.0, ignore_eos=True)
+        probe = LLMEngine(self._cfg(1)).generate([list(range(1, 21))], sp)[0]
+        eos = probe[5]
+        first = probe.index(eos)
+        sp_eos = SamplingParams(max_new_tokens=13, temperature=0.0, eos_token_id=eos)
+        eng = LLMEngine(self._cfg(8))
+        out = eng.generate([list(range(1, 21))], sp_eos)[0]
+        assert out == probe[: first + 1]
+        assert eng.kv_mgr.usage == 0.0  # blocks freed despite mid-macro finish
+
+    def test_max_new_exact(self):
+        """K not dividing max_new_tokens still stops exactly."""
+        sp = SamplingParams(max_new_tokens=7, temperature=0.0, ignore_eos=True)
+        eng = LLMEngine(self._cfg(4))
+        out = eng.generate([[1, 2, 3]], sp)[0]
+        assert len(out) == 7
+
+    def test_mixed_arrivals_fall_back(self):
+        """A prefill arriving between macro-steps still gets served."""
+        eng = LLMEngine(self._cfg(8))
+        sp = SamplingParams(max_new_tokens=16, temperature=0.0, ignore_eos=True)
+        r0 = eng.add_request(list(range(1, 10)), sp)
+        eng.step()  # prefill r0
+        eng.step()  # macro decode r0
+        r1 = eng.add_request(list(range(30, 45)), sp)
+        while eng.has_unfinished:
+            eng.step()
+        reqs = eng.scheduler.requests
+        assert len(reqs[r0].output_token_ids) == 16
+        assert len(reqs[r1].output_token_ids) == 16

@@ -80,6 +80,12 @@ class SchedulerConfig:
     max_num_seqs: int = 8
     max_num_batched_tokens: int = 512
     enable_chunked_prefill: bool = True
+    # Multi-step decode (vLLM's num-scheduler-steps): pure-decode batches run
+    # up to this many autoregressive iterations inside ONE jitted lax.scan,
+    # syncing tokens to the host once per macro-step.  Hides host scheduling
+    # and device->host latency behind device compute; post-EOS tokens inside
+    # a macro-step are discarded on the host.
+    decode_steps: int = 1
     # Preemption policy when blocks run out (blog scheduler BLOG_PART2.md:992-1015).
     enable_preemption: bool = True
     policy: str = "fcfs"  # or "priority"

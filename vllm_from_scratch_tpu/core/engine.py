@@ -23,6 +23,7 @@ from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..models import transformer
@@ -83,6 +84,38 @@ class LLMEngine:
             return tokens, cache
 
         self._step_fn = jax.jit(_step, donate_argnums=(1,))
+
+        def _decode_scan(params, cache, tok0, pos0, tables, slots_k, sstate, skey):
+            """K autoregressive decode iterations in one compiled program.
+
+            tok0/pos0: [B] current token and its position; slots_k: [B, K]
+            physical slots for positions pos0..pos0+K-1; returns tokens
+            [K, B] (token k is sampled after writing KV for position pos0+k).
+            """
+            K = slots_k.shape[1]
+
+            def body(carry, k):
+                cache, tok, pos = carry
+                b = ModelBatch(
+                    tokens=tok[:, None],
+                    positions=pos[:, None],
+                    slots=slots_k[:, k][:, None],
+                    block_tables=tables,
+                    ctx_lens=pos + 1,
+                    q_lens=jnp.ones_like(pos),
+                )
+                logits, cache = transformer.forward(
+                    params, cache, b, mcfg, block_size=ccfg.block_size, mesh=mesh
+                )
+                tok2 = sample(logits, sstate, jax.random.fold_in(skey, k))
+                return (cache, tok2, pos + 1), tok2
+
+            (cache, _, _), toks = jax.lax.scan(
+                body, (cache, tok0, pos0), jnp.arange(K)
+            )
+            return toks, cache
+
+        self._decode_scan_fn = jax.jit(_decode_scan, donate_argnums=(1,))
 
         self._next_req_id = 0
         # metrics
@@ -170,6 +203,58 @@ class LLMEngine:
         out_tokens, self.cache = self._step_fn(self.params, self.cache, batch, sstate, skey)
         return [int(t) for t in np.asarray(out_tokens)[:B]]
 
+    def _try_multi_step(self, scheduled: List[ScheduledRequest]) -> Optional[List[List[int]]]:
+        """Run K decode iterations in one device call (sync once per K).
+
+        Only for pure-decode batches.  Returns per-k sampled tokens
+        [[tok per item] for k in range(K)], or None to use the 1-step path.
+        K is capped so no request overruns max_new_tokens, and every request
+        must be able to pre-allocate K slots.
+        """
+        K = self.config.scheduler.decode_steps
+        if K <= 1 or any(it.num_new_tokens != 1 for it in scheduled):
+            return None
+        K = min(
+            K,
+            min(
+                it.request.sampling.max_new_tokens - len(it.request.output_token_ids)
+                for it in scheduled
+            ),
+        )
+        if K <= 1:
+            return None
+        # Pre-allocate blocks for K tokens per request (no preemption inside
+        # a macro-step; fall back to 1-step under memory pressure).
+        for it in scheduled:
+            extra = self.kv_mgr.allocate_slots(it.request, K)
+            if extra is None:
+                return None
+
+        B = len(scheduled)
+        dp = self.config.parallel.dp_size
+        B_pad = dp * _next_pow2(cdiv(B, dp))
+        n_blocks = max(len(it.request.block_ids) for it in scheduled)
+        N_pad = min(_next_pow2(max(n_blocks, 1)), self.max_blocks_per_seq)
+
+        tok0 = np.zeros((B_pad,), np.int32)
+        pos0 = np.zeros((B_pad,), np.int32)
+        tables = np.zeros((B_pad, N_pad), np.int32)
+        slots_k = np.zeros((B_pad, K), np.int32)
+        for i, it in enumerate(scheduled):
+            req, s0 = it.request, it.start_pos
+            tok0[i] = req.all_token_ids()[s0]
+            pos0[i] = s0
+            tables[i, : len(req.block_ids)] = req.block_ids
+            slots_k[i] = self.kv_mgr.slot_mapping(req, s0, K)
+
+        sstate = make_sampling_state([it.request for it in scheduled], B_pad)
+        self._rng, skey = jax.random.split(self._rng)
+        toks, self.cache = self._decode_scan_fn(
+            self.params, self.cache, tok0, pos0, tables, slots_k, sstate, skey
+        )
+        arr = np.asarray(toks)  # [K, B_pad] — the single host sync
+        return [[int(t) for t in arr[k, :B]] for k in range(K)]
+
     # ---- the engine step ----------------------------------------------------------
 
     def step(self) -> List[Tuple[int, int]]:
@@ -180,16 +265,24 @@ class LLMEngine:
         scheduled = self.scheduler.schedule()
         if not scheduled:
             return []
-        prefill = [it for it in scheduled if it.num_new_tokens > 1]
-        decode = [it for it in scheduled if it.num_new_tokens == 1]
 
-        sampled: Dict[int, int] = {}
-        for group in (prefill, decode):
-            if group:
-                for it, tok in zip(group, self._run_group(group)):
-                    sampled[id(it)] = tok
+        multi = self._try_multi_step(scheduled)
+        if multi is not None:
+            emitted = []
+            for k, toks_k in enumerate(multi):
+                emitted.extend(self.scheduler.update(scheduled, toks_k))
+            self.metrics["num_steps"] += len(multi) - 1  # inner iterations
+        else:
+            prefill = [it for it in scheduled if it.num_new_tokens > 1]
+            decode = [it for it in scheduled if it.num_new_tokens == 1]
 
-        emitted = self.scheduler.update(scheduled, [sampled[id(it)] for it in scheduled])
+            sampled: Dict[int, int] = {}
+            for group in (prefill, decode):
+                if group:
+                    for it, tok in zip(group, self._run_group(group)):
+                        sampled[id(it)] = tok
+
+            emitted = self.scheduler.update(scheduled, [sampled[id(it)] for it in scheduled])
 
         now = time.monotonic()
         self.metrics["num_steps"] += 1
