@@ -109,6 +109,17 @@ class ParallelConfig:
 
 
 @dataclass(frozen=True)
+class SpecConfig:
+    """Speculative decoding (blog components: BLOG_PART2.md:1121-1330,
+    BLOG_PART2_V2.md:983-1056).  A small draft model proposes
+    num_draft_tokens per step; the target verifies them in one forward and
+    a distribution-exact rejection sampler keeps a prefix."""
+
+    draft: "ModelConfig" = None  # required; must share vocab/max_position
+    num_draft_tokens: int = 4
+
+
+@dataclass(frozen=True)
 class QuantConfig:
     """Weight quantization. "none" | "int8" (weight-only, per-output-channel scales)."""
 
@@ -135,6 +146,7 @@ class EngineConfig:
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     quant: QuantConfig = field(default_factory=QuantConfig)
+    spec: Optional[SpecConfig] = None
     seed: int = 0
 
     def replace(self, **kw) -> "EngineConfig":

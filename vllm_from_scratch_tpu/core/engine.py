@@ -28,7 +28,8 @@ import numpy as np
 
 from ..models import transformer
 from ..models.transformer import ModelBatch
-from ..ops.sampling import make_sampling_state, sample
+from ..ops.rejection import rejection_sample
+from ..ops.sampling import filtered_probs, make_sampling_state, sample, sample_with_probs
 from .config import EngineConfig, SamplingParams
 from .kv_cache_manager import KVCacheManager, cdiv
 from .request import Request, RequestStatus
@@ -117,6 +118,76 @@ class LLMEngine:
 
         self._decode_scan_fn = jax.jit(_decode_scan, donate_argnums=(1,))
 
+        # ---- speculative decoding (optional) ---------------------------
+        self.draft_params = None
+        self.draft_cache = None
+        if config.spec is not None:
+            dcfg = config.spec.draft
+            assert dcfg is not None and dcfg.vocab_size == mcfg.vocab_size
+            dkey = jax.random.PRNGKey(config.seed + 17)
+            self.draft_params = transformer.init_params(dkey, dcfg)
+            self.draft_cache = transformer.init_cache(
+                dcfg, ccfg.num_blocks, ccfg.block_size, ccfg.kv_quant
+            )
+
+            def _draft_prefill(dparams, dcache, batch):
+                _, dcache = transformer.forward(
+                    dparams, dcache, batch, dcfg, block_size=ccfg.block_size
+                )
+                return dcache
+
+            self._draft_prefill_fn = jax.jit(_draft_prefill, donate_argnums=(1,))
+
+            def _spec_step(pt, pd, ct, cd, tok0, pos0, tables, slots_k, sstate, skey):
+                """Draft K tokens, verify with one target forward, reject-sample.
+
+                slots_k: [B, K+1] slots for positions pos0..pos0+K.  Returns
+                (tokens [B, K+1], num_accepted [B], new target/draft caches).
+                """
+                K = slots_k.shape[1] - 1
+
+                def dbody(carry, i):
+                    cd, tok, pos = carry
+                    b = ModelBatch(
+                        tokens=tok[:, None], positions=pos[:, None],
+                        slots=slots_k[:, i][:, None], block_tables=tables,
+                        ctx_lens=pos + 1, q_lens=jnp.ones_like(pos),
+                    )
+                    logits, cd = transformer.forward(
+                        pd, cd, b, dcfg, block_size=ccfg.block_size
+                    )
+                    dtok, dprobs = sample_with_probs(
+                        logits, sstate, jax.random.fold_in(skey, i)
+                    )
+                    return (cd, dtok, pos + 1), (dtok, dprobs)
+
+                # K+1 iterations: the last one only writes d_K's KV into the
+                # draft cache so the next spec step has full draft history.
+                (cd, _, _), (dtoks, dprobs) = jax.lax.scan(
+                    dbody, (cd, tok0, pos0), jnp.arange(K + 1)
+                )
+                drafts = dtoks[:K].T                      # [B, K]
+                draft_probs = dprobs[:K].transpose(1, 0, 2)  # [B, K, V]
+
+                ver_tokens = jnp.concatenate([tok0[:, None], drafts], axis=1)
+                ver_pos = pos0[:, None] + jnp.arange(K + 1)[None, :]
+                b = ModelBatch(
+                    tokens=ver_tokens, positions=ver_pos, slots=slots_k,
+                    block_tables=tables, ctx_lens=pos0 + K + 1,
+                    q_lens=jnp.full_like(pos0, K + 1),
+                )
+                all_logits, ct = transformer.forward(
+                    pt, ct, b, mcfg, block_size=ccfg.block_size, mesh=mesh,
+                    return_all_logits=True,
+                )                                          # [B, K+1, V]
+                target_probs = filtered_probs(all_logits, sstate)
+                out, n_acc = rejection_sample(
+                    drafts, draft_probs, target_probs, jax.random.fold_in(skey, 777)
+                )
+                return out, n_acc, ct, cd
+
+            self._spec_step_fn = jax.jit(_spec_step, donate_argnums=(2, 3))
+
         self._next_req_id = 0
         # metrics
         self.metrics: Dict[str, float] = {
@@ -201,6 +272,11 @@ class LLMEngine:
         sstate = make_sampling_state([it.request for it in group], B_pad)
         self._rng, skey = jax.random.split(self._rng)
         out_tokens, self.cache = self._step_fn(self.params, self.cache, batch, sstate, skey)
+        if self.draft_params is not None:
+            # Keep the draft model's KV in lockstep (prefill / fallback path).
+            self.draft_cache = self._draft_prefill_fn(
+                self.draft_params, self.draft_cache, batch
+            )
         return [int(t) for t in np.asarray(out_tokens)[:B]]
 
     def _try_multi_step(self, scheduled: List[ScheduledRequest]) -> Optional[List[List[int]]]:
@@ -255,6 +331,57 @@ class LLMEngine:
         arr = np.asarray(toks)  # [K, B_pad] — the single host sync
         return [[int(t) for t in arr[k, :B]] for k in range(K)]
 
+    def _try_spec_step(self, scheduled: List[ScheduledRequest]) -> Optional[List[Tuple[int, int]]]:
+        """Speculative decode for a pure-decode batch: draft K, verify once,
+        accept a prefix.  Returns emitted (req_id, token) or None to fall back.
+        """
+        if self.config.spec is None or any(it.num_new_tokens != 1 for it in scheduled):
+            return None
+        K = self.config.spec.num_draft_tokens
+        for it in scheduled:
+            if self.kv_mgr.allocate_slots(it.request, K + 1) is None:
+                return None
+
+        B = len(scheduled)
+        dp = self.config.parallel.dp_size
+        B_pad = dp * _next_pow2(cdiv(B, dp))
+        n_blocks = max(len(it.request.block_ids) for it in scheduled)
+        N_pad = min(_next_pow2(max(n_blocks, 1)), self.max_blocks_per_seq)
+
+        tok0 = np.zeros((B_pad,), np.int32)
+        pos0 = np.zeros((B_pad,), np.int32)
+        tables = np.zeros((B_pad, N_pad), np.int32)
+        slots_k = np.zeros((B_pad, K + 1), np.int32)
+        for i, it in enumerate(scheduled):
+            req, s0 = it.request, it.start_pos
+            tok0[i] = req.all_token_ids()[s0]
+            pos0[i] = s0
+            tables[i, : len(req.block_ids)] = req.block_ids
+            slots_k[i] = self.kv_mgr.slot_mapping(req, s0, K + 1)
+
+        sstate = make_sampling_state([it.request for it in scheduled], B_pad)
+        self._rng, skey = jax.random.split(self._rng)
+        out, n_acc, self.cache, self.draft_cache = self._spec_step_fn(
+            self.params, self.draft_params, self.cache, self.draft_cache,
+            tok0, pos0, tables, slots_k, sstate, skey,
+        )
+        out = np.asarray(out)      # [B_pad, K+1]
+        n_acc = np.asarray(n_acc)  # [B_pad]
+
+        self.metrics["spec_drafted"] = self.metrics.get("spec_drafted", 0) + B * K
+        self.metrics["spec_accepted"] = self.metrics.get("spec_accepted", 0) + int(
+            n_acc[:B].sum()
+        )
+
+        emitted: List[Tuple[int, int]] = []
+        for k in range(K + 1):
+            items_k = [it for i, it in enumerate(scheduled) if k <= n_acc[i]]
+            toks_k = [int(out[i, k]) for i, it in enumerate(scheduled) if k <= n_acc[i]]
+            if not items_k:
+                break
+            emitted.extend(self.scheduler.update(items_k, toks_k))
+        return emitted
+
     # ---- the engine step ----------------------------------------------------------
 
     def step(self) -> List[Tuple[int, int]]:
@@ -265,6 +392,16 @@ class LLMEngine:
         scheduled = self.scheduler.schedule()
         if not scheduled:
             return []
+
+        spec_emitted = self._try_spec_step(scheduled)
+        if spec_emitted is not None:
+            emitted = spec_emitted
+            self.metrics["num_steps"] += 1
+            self.metrics["num_generated_tokens"] += len(emitted)
+            now = time.monotonic()
+            for rid, _ in emitted:
+                self._first_token_time.setdefault(rid, now)
+            return emitted
 
         multi = self._try_multi_step(scheduled)
         if multi is not None:

@@ -120,6 +120,7 @@ def forward(
     *,
     block_size: int,
     mesh=None,
+    return_all_logits: bool = False,
 ) -> tuple[jax.Array, KVCache]:
     """Run the model; returns (last-position logits [B, V], updated cache).
 
@@ -166,6 +167,10 @@ def forward(
 
     x, new_cache = jax.lax.scan(layer_step, x, (params["layers"], cache))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+    if return_all_logits:
+        # Per-position logits (speculative-decode verify path).
+        return (x @ params["lm_head"]).astype(jnp.float32), new_cache
 
     # Gather each request's last valid position (q_len-1; pad rows read 0).
     last = jnp.maximum(batch.q_lens - 1, 0)  # [B]

@@ -84,17 +84,34 @@ def sample(
     return jnp.where(is_greedy, greedy, sampled)
 
 
+def filtered_probs(logits: jax.Array, state: SamplingState) -> jax.Array:
+    """The post-filter categorical distribution each request samples from.
+
+    logits [B, V] or [B, T, V] (state broadcasts over T).  Greedy rows
+    (temperature 0) become one-hot at the argmax, which makes rejection
+    sampling degenerate to exact greedy verification.
+    """
+    squeeze = logits.ndim == 2
+    if squeeze:
+        logits = logits[:, None, :]
+    B, T, V = logits.shape
+    is_greedy = state.temperature <= 0.0
+    temp = jnp.where(is_greedy, 1.0, state.temperature)
+    scaled = (logits / temp[:, None, None]).reshape(B * T, V)
+    keep = top_p_top_k_mask(
+        scaled,
+        jnp.repeat(state.top_p, T),
+        jnp.repeat(state.top_k, T),
+    )
+    probs = jax.nn.softmax(jnp.where(keep, scaled, -jnp.inf), axis=-1)
+    onehot = jax.nn.one_hot(jnp.argmax(logits.reshape(B * T, V), -1), V, dtype=jnp.float32)
+    probs = jnp.where(jnp.repeat(is_greedy, T)[:, None], onehot, probs).reshape(B, T, V)
+    return probs[:, 0] if squeeze else probs
+
+
 def sample_with_probs(
     logits: jax.Array, state: SamplingState, key: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
     """Sample and also return the post-filter categorical distribution
     (needed by speculative decoding's rejection sampler)."""
-    is_greedy = state.temperature <= 0.0
-    temp = jnp.where(is_greedy, 1.0, state.temperature)
-    scaled = logits / temp[:, None]
-    keep = top_p_top_k_mask(scaled, state.top_p, state.top_k)
-    filtered = jnp.where(keep, scaled, -jnp.inf)
-    probs = jax.nn.softmax(filtered, axis=-1)
-    onehot_greedy = jax.nn.one_hot(jnp.argmax(logits, -1), logits.shape[-1], dtype=jnp.float32)
-    probs = jnp.where(is_greedy[:, None], onehot_greedy, probs)
-    return sample(logits, state, key), probs
+    return sample(logits, state, key), filtered_probs(logits, state)
