@@ -1,0 +1,352 @@
+"""Global KV pool / PD disaggregation tests — full port of the reference
+suite 06 contract (06_global_prefix_cache/test_global_kv_pool.py, 34 cases):
+chained hashing, metadata server (incl. 4-thread race test), transfer engine
+(latency model, callbacks, concurrency), connector, and PD cluster
+integration — plus failure-path tests the reference lacks (node offline,
+failing backend, wait timeout)."""
+
+import threading
+import time
+
+import pytest
+
+from vllm_from_scratch_tpu.core.hashing import compute_block_hash, compute_block_hashes
+from vllm_from_scratch_tpu.distributed.cluster import SimulatedCluster
+from vllm_from_scratch_tpu.distributed.connector import KVConnector
+from vllm_from_scratch_tpu.distributed.metadata import (
+    BLOCK_SIZE,
+    KV_BLOCK_BYTES,
+    GlobalMetadataServer,
+    KVBlockMeta,
+)
+from vllm_from_scratch_tpu.distributed.transfer import (
+    LatencyModelBackend,
+    TransferEngine,
+    TransferRequest,
+)
+
+
+def hashes_of(tokens, extra_key=None):
+    return compute_block_hashes(tokens, BLOCK_SIZE, extra_key)
+
+
+# ---------------------------------------------------------------- hashing
+
+class TestBlockHash:
+    def test_same_tokens_same_hash(self):
+        t = list(range(BLOCK_SIZE))
+        assert hashes_of(t) == hashes_of(t)
+
+    def test_different_tokens_different_hash(self):
+        assert hashes_of(list(range(BLOCK_SIZE))) != hashes_of(
+            list(range(BLOCK_SIZE, 2 * BLOCK_SIZE))
+        )
+
+    def test_chain_dependency(self):
+        a = hashes_of(list(range(BLOCK_SIZE * 2)))
+        b = hashes_of(list(range(1000, 1000 + BLOCK_SIZE)) + list(range(BLOCK_SIZE)))
+        assert a[1] != b[1]
+
+    def test_num_blocks(self):
+        assert len(hashes_of(list(range(BLOCK_SIZE * 3 + 5)))) == 3
+
+    def test_short_sequence(self):
+        assert len(hashes_of(list(range(BLOCK_SIZE - 1)))) == 0
+
+    def test_extra_key_changes_hash(self):
+        t = list(range(BLOCK_SIZE))
+        assert hashes_of(t, extra_key=None) != hashes_of(t, extra_key=42)
+
+
+# ---------------------------------------------------------------- metadata
+
+class TestGlobalMetadataServer:
+    @pytest.fixture
+    def meta(self):
+        return GlobalMetadataServer()
+
+    def test_publish_and_query(self, meta):
+        hs = hashes_of(list(range(BLOCK_SIZE * 3)))
+        meta.publish(hs[0], node_id=0, token_ids=tuple(range(BLOCK_SIZE)))
+        n, metas = meta.query_prefix([hs[0]])
+        assert n == 1 and metas[0].block_hash == hs[0]
+
+    def test_miss_returns_zero(self, meta):
+        n, metas = meta.query_prefix([b"nope"])
+        assert n == 0 and metas == []
+
+    def test_chain_miss_stops_early(self, meta):
+        hs = hashes_of(list(range(BLOCK_SIZE * 4)))
+        meta.publish(hs[0], 0)
+        meta.publish(hs[2], 0)  # gap at hs[1]
+        n, _ = meta.query_prefix(hs[:3])
+        assert n == 1
+
+    def test_total_blocks(self, meta):
+        for i in range(5):
+            meta.publish(i, 0)
+        assert meta.total_blocks == 5
+
+    def test_unpublish(self, meta):
+        meta.publish(123, 0)
+        assert meta.total_blocks == 1
+        assert meta.unpublish(123)
+        assert meta.total_blocks == 0
+
+    def test_unpublish_nonexistent(self, meta):
+        assert not meta.unpublish(99999)
+
+    def test_lru_eviction(self, meta):
+        MAX = 5
+        for i in range(MAX + 2):
+            meta.publish(i, node_id=0, max_blocks_per_node=MAX)
+        assert meta.node_stats()[0]["num_blocks"] <= MAX
+
+    def test_lru_evicts_coldest(self, meta):
+        for i in range(3):
+            meta.publish(i, 0, max_blocks_per_node=3)
+        meta.query_prefix([0])  # touch block 0
+        time.sleep(0.002)
+        meta.publish(3, 0, max_blocks_per_node=3)  # must evict 1 or 2, not 0
+        assert meta.get(0) is not None
+        assert meta.total_blocks == 3
+
+    def test_hit_rate_counters(self, meta):
+        hs = hashes_of(list(range(BLOCK_SIZE * 2)))
+        meta.publish(hs[0], 0)
+        meta.query_prefix([hs[0]])
+        meta.query_prefix([b"miss"])
+        assert meta.total_queries == 2 and meta.total_hits == 1
+
+    def test_concurrent_publish(self, meta):
+        errors = []
+
+        def batch(start):
+            try:
+                for i in range(start, start + 50):
+                    meta.publish(i, node_id=i % 4)
+            except Exception as e:
+                errors.append(str(e))
+
+        threads = [threading.Thread(target=batch, args=(i * 50,)) for i in range(4)]
+        [t.start() for t in threads]
+        [t.join() for t in threads]
+        assert not errors and meta.total_blocks == 200
+
+    def test_node_stats(self, meta):
+        meta.publish(1, 0)
+        meta.publish(2, 0)
+        meta.publish(3, 1)
+        stats = meta.node_stats()
+        assert stats[0]["num_blocks"] == 2 and stats[1]["num_blocks"] == 1
+
+    def test_unpublish_node_offline(self, meta):
+        """Node failure: drop everything it owned (failure-detection path)."""
+        for i in range(4):
+            meta.publish(i, node_id=0)
+        meta.publish(9, node_id=1)
+        assert meta.unpublish_node(0) == 4
+        assert meta.total_blocks == 1
+        assert meta.get(9) is not None
+
+
+# ---------------------------------------------------------------- transfer
+
+class TestTransferEngine:
+    @pytest.fixture
+    def engine(self):
+        return TransferEngine(node_id=10)
+
+    def test_submit_returns_id(self, engine):
+        tid = engine.submit_transfer(src_node_id=0, block_hashes=[1, 2, 3])
+        assert isinstance(tid, str) and tid
+
+    def test_unique_transfer_ids(self, engine):
+        ids = [engine.submit_transfer(0, [i]) for i in range(10)]
+        assert len(set(ids)) == 10
+
+    def test_transfer_completes(self, engine):
+        tid = engine.submit_transfer(0, [1])
+        result = engine.wait(tid, timeout=5.0)
+        assert result is not None and result.success
+
+    def test_bytes_transferred(self, engine):
+        tid = engine.submit_transfer(0, list(range(5)))
+        assert engine.wait(tid, 5.0).bytes_transferred == 5 * KV_BLOCK_BYTES
+
+    def test_callback_called(self, engine):
+        got = []
+        tid = engine.submit_transfer(0, [1], callback=got.append)
+        engine.wait(tid, 5.0)
+        time.sleep(0.05)
+        assert len(got) == 1 and got[0].transfer_id == tid
+
+    def test_is_complete(self, engine):
+        tid = engine.submit_transfer(0, [1, 2])
+        engine.wait(tid, 5.0)
+        assert engine.is_complete(tid)
+
+    def test_concurrent_transfers(self, engine):
+        tids = [engine.submit_transfer(i % 4, [i, i + 1]) for i in range(10)]
+        results = [engine.wait(t, 10.0) for t in tids]
+        assert all(r is not None and r.success for r in results)
+
+    def test_latency_model_intra_vs_cross_rack(self):
+        """Same rack (node//4) is materially faster than cross-rack."""
+        backend = LatencyModelBackend()
+        req_near = TransferRequest("a", 8, 10, [1], bytes_per_block=1024)
+        req_far = TransferRequest("b", 0, 10, [1], bytes_per_block=1024)
+        t0 = time.monotonic(); backend.transfer(req_near); near = time.monotonic() - t0
+        t0 = time.monotonic(); backend.transfer(req_far); far = time.monotonic() - t0
+        assert far > near
+
+    def test_wait_timeout_returns_none(self):
+        class Slow:
+            def transfer(self, req):
+                time.sleep(1.0)
+                from vllm_from_scratch_tpu.distributed.transfer import TransferResult
+                return TransferResult(req.transfer_id, True, 0, 1.0)
+
+        eng = TransferEngine(node_id=0, backend=Slow(), num_workers=1)
+        tid = eng.submit_transfer(1, [1])
+        assert eng.wait(tid, timeout=0.05) is None
+        assert eng.wait(tid, timeout=5.0) is not None
+
+    def test_failing_backend_reports_failure(self):
+        class Broken:
+            def transfer(self, req):
+                raise IOError("link down")
+
+        eng = TransferEngine(node_id=0, backend=Broken(), num_workers=1)
+        tid = eng.submit_transfer(1, [1])
+        result = eng.wait(tid, 5.0)
+        assert result is not None and not result.success
+        assert "link down" in result.error
+        assert eng.stats["failed"] == 1
+
+
+# ---------------------------------------------------------------- connector
+
+class TestKVConnector:
+    @pytest.fixture
+    def setup(self):
+        meta = GlobalMetadataServer()
+        src = KVConnector(0, meta, TransferEngine(node_id=0), BLOCK_SIZE)
+        dst = KVConnector(1, meta, TransferEngine(node_id=1), BLOCK_SIZE)
+        return meta, src, dst
+
+    def test_miss_returns_zero(self, setup):
+        _, src, _ = setup
+        hs = hashes_of(list(range(BLOCK_SIZE * 2)))
+        n, load_async = src.get_num_new_matched_tokens("r0", hs)
+        assert n == 0 and not load_async
+
+    def test_local_hit_no_transfer(self, setup):
+        meta, src, _ = setup
+        hs = hashes_of(list(range(BLOCK_SIZE * 2)))
+        for h in hs:
+            meta.publish(h, node_id=0)
+        n, load_async = src.get_num_new_matched_tokens("r0", hs)
+        assert n == len(hs) * BLOCK_SIZE and not load_async
+
+    def test_remote_hit_triggers_transfer(self, setup):
+        meta, _, dst = setup
+        hs = hashes_of(list(range(BLOCK_SIZE * 3)))
+        for h in hs:
+            meta.publish(h, node_id=0)
+        n, load_async = dst.get_num_new_matched_tokens("r1", hs)
+        assert n == len(hs) * BLOCK_SIZE and load_async
+
+    def test_wait_for_kv_completes(self, setup):
+        meta, _, dst = setup
+        hs = hashes_of(list(range(BLOCK_SIZE * 2)))
+        for h in hs:
+            meta.publish(h, node_id=0)
+        _, load_async = dst.get_num_new_matched_tokens("r2", hs)
+        assert load_async
+        assert dst.wait_for_kv("r2", timeout=10.0)
+
+    def test_publish_kv(self, setup):
+        meta, src, _ = setup
+        tokens = list(range(BLOCK_SIZE * 4))
+        hs = hashes_of(tokens)
+        blocks = [tuple(tokens[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE]) for i in range(len(hs))]
+        assert src.publish_kv(hs, blocks) == len(hs)
+        assert meta.total_blocks == len(hs)
+
+    def test_stats_tracking(self, setup):
+        meta, _, dst = setup
+        hs = hashes_of(list(range(BLOCK_SIZE)))
+        for h in hs:
+            meta.publish(h, node_id=0)
+        for i in range(3):
+            dst.get_num_new_matched_tokens(f"r{i}", hs)
+        assert dst.stats["queries"] == 3 and dst.stats["hits"] > 0
+
+    def test_second_pull_is_local(self, setup):
+        """After pulling and marking blocks local, re-query needs no transfer."""
+        meta, _, dst = setup
+        hs = hashes_of(list(range(BLOCK_SIZE * 2)))
+        for h in hs:
+            meta.publish(h, node_id=0)
+        _, load_async = dst.get_num_new_matched_tokens("r0", hs)
+        assert load_async and dst.wait_for_kv("r0")
+        dst.mark_local(hs)
+        _, load_async2 = dst.get_num_new_matched_tokens("r1", hs)
+        assert not load_async2
+
+
+# ---------------------------------------------------------------- cluster
+
+class TestSimulatedCluster:
+    @pytest.fixture
+    def cluster(self):
+        return SimulatedCluster(num_prefill_nodes=2, num_decode_nodes=2,
+                                prefill_ms_per_token=0.05)
+
+    def test_first_request_no_cache(self, cluster):
+        cached, _ = cluster.simulate_prefill("req-0", list(range(BLOCK_SIZE * 5)), 0)
+        assert cached == 0
+
+    def test_second_request_cache_hit(self, cluster):
+        sys_prompt = list(range(BLOCK_SIZE * 4))
+        cluster.simulate_prefill("req-0", sys_prompt + [9999], 0)
+        cached, _ = cluster.simulate_prefill("req-1", sys_prompt + [10000, 10001], 0)
+        assert cached >= len(sys_prompt)
+
+    def test_cross_node_cache_sharing(self, cluster):
+        tokens = list(range(BLOCK_SIZE * 6))
+        cluster.simulate_prefill("req-p", tokens, 0)
+        from_cache, _ = cluster.simulate_decode("req-d", tokens, 0)
+        assert from_cache == len(tokens)
+
+    def test_global_pool_grows(self, cluster):
+        initial = cluster.meta_server.total_blocks
+        cluster.simulate_prefill("a", list(range(BLOCK_SIZE * 3)), 0)
+        cluster.simulate_prefill("b", list(range(100, 100 + BLOCK_SIZE * 3)), 1)
+        assert cluster.meta_server.total_blocks > initial
+
+    def test_hit_rate_improves(self, cluster):
+        sys_prompt = list(range(BLOCK_SIZE * 4))
+        for i in range(5):
+            cluster.simulate_prefill(f"warm-{i}", sys_prompt + [i * 100], 0)
+        hr_warm = cluster.meta_server.hit_rate
+        for i in range(5, 15):
+            cluster.simulate_prefill(f"hot-{i}", sys_prompt + [i * 100], 0)
+        assert cluster.meta_server.hit_rate >= hr_warm
+
+    def test_prefill_hit_saves_time(self, cluster):
+        """The 258ms -> 2ms effect (BLOG_PART2B_V2.md:3893-3911), scaled."""
+        tokens = list(range(BLOCK_SIZE * 8))
+        _, cold_ms = cluster.simulate_prefill("cold", tokens, 0)
+        _, warm_ms = cluster.simulate_prefill("warm", tokens, 0)
+        assert warm_ms < cold_ms
+
+    def test_cross_prefill_node_pull(self, cluster):
+        """Node 1 pulls node 0's blocks over the (simulated) wire."""
+        tokens = list(range(BLOCK_SIZE * 4))
+        cluster.simulate_prefill("on-0", tokens, 0)
+        cached, _ = cluster.simulate_prefill("on-1", tokens, 1)
+        assert cached == BLOCK_SIZE * 4
+        assert cluster.prefill_nodes[1].stats["transfers"] > 0
+        assert cluster.prefill_nodes[1].stats["transferred_bytes"] > 0

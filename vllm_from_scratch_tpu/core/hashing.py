@@ -33,7 +33,7 @@ BlockHash = bytes  # 32-byte sha256 digest
 def compute_block_hash(
     parent_hash: Optional[BlockHash],
     token_ids: Sequence[int],
-    extra_key: Optional[str] = None,
+    extra_key: Optional[object] = None,
 ) -> BlockHash:
     """Hash of one full block, chained through its parent.
 
@@ -45,14 +45,14 @@ def compute_block_hash(
     h.update(parent_hash if parent_hash is not None else NO_PARENT)
     h.update(struct.pack(f"<{len(token_ids)}q", *token_ids))
     if extra_key is not None:
-        h.update(b"|" + extra_key.encode())
+        h.update(b"|" + repr(extra_key).encode())
     return h.digest()
 
 
 def compute_block_hashes(
     token_ids: Sequence[int],
     block_size: int,
-    extra_key: Optional[str] = None,
+    extra_key: Optional[object] = None,
 ) -> List[BlockHash]:
     """Chained hashes for every *full* block of ``token_ids``.
 

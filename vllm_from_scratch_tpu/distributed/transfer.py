@@ -1,0 +1,163 @@
+"""Async KV transfer engine with pluggable backends.
+
+Equivalent of the reference's RDMA-simulating TransferEngine (ref:
+06_global_prefix_cache/global_kv_pool.py:217-331), restructured for TPU:
+
+- The **engine** (queue, worker threads, results, callbacks, wait) is
+  backend-agnostic.
+- ``LatencyModelBackend`` reproduces the reference's cost model exactly —
+  100 Gbps, 200 us intra-rack (rack = node_id // 4, :313), 1 ms cross-rack —
+  so distributed logic is testable on any machine (SURVEY §4's
+  "multi-node without a cluster" idiom).
+- ``DeviceCopyBackend`` moves real ``jax.Array`` pages between devices/hosts
+  with ``jax.device_put`` — the DCN path on a TPU pod (ICI collectives inside
+  a slice are compiled by XLA and never go through this engine).
+
+Improvements over the reference: completion uses a Condition instead of a
+100 us poll loop (:288-296), and a transfer can report failure instead of
+only success.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Hashable, List, Optional, Sequence
+
+from .metadata import KV_BLOCK_BYTES
+
+GBPS = 100.0                    # link bandwidth (global_kv_pool.py:233)
+INTRA_RACK_LATENCY_S = 200e-6   # :234
+CROSS_RACK_LATENCY_S = 1e-3     # :235
+NODES_PER_RACK = 4              # rack = node_id // 4 (:313)
+
+
+@dataclass
+class TransferRequest:
+    transfer_id: str
+    src_node_id: int
+    dst_node_id: int
+    block_hashes: List[Hashable]
+    callback: Optional[Callable] = None
+    payload: object = None        # backend-specific (e.g. device buffers)
+    bytes_per_block: int = KV_BLOCK_BYTES
+
+
+@dataclass
+class TransferResult:
+    transfer_id: str
+    success: bool
+    bytes_transferred: int
+    elapsed_s: float
+    error: Optional[str] = None
+    data: object = None           # backend-specific received payload
+
+
+class LatencyModelBackend:
+    """The reference's RDMA cost model: sleep(latency + bytes / bandwidth)."""
+
+    def transfer(self, req: TransferRequest) -> TransferResult:
+        nbytes = len(req.block_hashes) * req.bytes_per_block
+        same_rack = req.src_node_id // NODES_PER_RACK == req.dst_node_id // NODES_PER_RACK
+        latency = INTRA_RACK_LATENCY_S if same_rack else CROSS_RACK_LATENCY_S
+        t = latency + nbytes * 8 / (GBPS * 1e9)
+        time.sleep(t)
+        return TransferResult(req.transfer_id, True, nbytes, t)
+
+
+class DeviceCopyBackend:
+    """Real data movement: device_put the payload pytree onto a target device.
+
+    ``payload`` must be a pytree of jax.Arrays; ``target_device`` is chosen
+    per dst_node_id by the mapping given at construction.
+    """
+
+    def __init__(self, node_devices: dict):
+        self.node_devices = node_devices  # node_id -> jax.Device
+
+    def transfer(self, req: TransferRequest) -> TransferResult:
+        import jax
+
+        t0 = time.monotonic()
+        dev = self.node_devices[req.dst_node_id]
+        moved = jax.device_put(req.payload, dev)
+        jax.block_until_ready(moved)
+        nbytes = sum(x.nbytes for x in jax.tree.leaves(moved))
+        return TransferResult(
+            req.transfer_id, True, nbytes, time.monotonic() - t0, data=moved
+        )
+
+
+class TransferEngine:
+    def __init__(self, node_id: int, backend=None, num_workers: int = 4):
+        self.node_id = node_id
+        self.backend = backend or LatencyModelBackend()
+        self._queue: "queue.Queue[TransferRequest]" = queue.Queue()
+        self._results: Dict[str, TransferResult] = {}
+        self._cond = threading.Condition()
+        self._counter = itertools.count()
+        self.stats = {"submitted": 0, "completed": 0, "failed": 0, "bytes": 0}
+        self._workers = [
+            threading.Thread(target=self._worker_loop, daemon=True)
+            for _ in range(num_workers)
+        ]
+        for w in self._workers:
+            w.start()
+
+    # ---- submit / wait -------------------------------------------------------
+
+    def submit_transfer(
+        self,
+        src_node_id: int,
+        block_hashes: Sequence[Hashable],
+        callback: Optional[Callable] = None,
+        payload: object = None,
+        bytes_per_block: int = KV_BLOCK_BYTES,
+    ) -> str:
+        tid = f"xfer-{self.node_id}-{next(self._counter)}"
+        req = TransferRequest(
+            tid, src_node_id, self.node_id, list(block_hashes), callback,
+            payload, bytes_per_block,
+        )
+        with self._cond:
+            self.stats["submitted"] += 1
+        self._queue.put(req)
+        return tid
+
+    def wait(self, transfer_id: str, timeout: float = 10.0) -> Optional[TransferResult]:
+        deadline = time.monotonic() + timeout
+        with self._cond:
+            while transfer_id not in self._results:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return None
+                self._cond.wait(remaining)
+            return self._results[transfer_id]
+
+    def is_complete(self, transfer_id: str) -> bool:
+        with self._cond:
+            return transfer_id in self._results
+
+    # ---- worker ---------------------------------------------------------------
+
+    def _worker_loop(self) -> None:
+        while True:
+            req = self._queue.get()
+            try:
+                result = self.backend.transfer(req)
+            except Exception as e:  # failed transfer is a result, not a crash
+                result = TransferResult(req.transfer_id, False, 0, 0.0, error=str(e))
+            with self._cond:
+                self._results[req.transfer_id] = result
+                self.stats["completed" if result.success else "failed"] += 1
+                self.stats["bytes"] += result.bytes_transferred
+                self._cond.notify_all()
+            if req.callback is not None:
+                try:
+                    req.callback(result)
+                except Exception:
+                    pass
+            self._queue.task_done()
