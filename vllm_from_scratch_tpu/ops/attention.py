@@ -123,6 +123,15 @@ def paged_attention(
     if q_lens is None:
         q_lens = jnp.full((B,), Tq, dtype=jnp.int32)
 
+    from . import pallas as _pk
+
+    if _pk.use_pallas(padded_ctx=block_tables.shape[1] * block_size):
+        return _pk.paged_attention_pallas(
+            q, cache.k, cache.v, cache.k_scale, cache.v_scale,
+            block_tables, ctx_lens, q_lens,
+            block_size=block_size, sm_scale=sm_scale,
+        )
+
     N = block_tables.shape[1]
     S = N * block_size
     # Expand block tables to flat slot indices: [B, S]

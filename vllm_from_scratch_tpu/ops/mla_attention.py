@@ -110,6 +110,19 @@ def mla_paged_attention(
     if q_lens is None:
         q_lens = jnp.full((B,), Tq, dtype=jnp.int32)
 
+    from . import pallas as _pk
+
+    if _pk.use_pallas(padded_ctx=block_tables.shape[1] * block_size):
+        q_l = jnp.einsum(
+            "bthd,hdr->bthr", q_nope.astype(jnp.float32), w_uk.astype(jnp.float32)
+        )
+        latent = _pk.mla_paged_attention_pallas(
+            q_l, q_rope, cache.c, cache.kr, cache.c_scale, cache.kr_scale,
+            block_tables, ctx_lens, q_lens,
+            block_size=block_size, sm_scale=sm_scale,
+        )
+        return jnp.einsum("bthr,hrv->bthv", latent, w_uv.astype(jnp.float32))
+
     N = block_tables.shape[1]
     S = N * block_size
     offs = jnp.arange(block_size, dtype=block_tables.dtype)
