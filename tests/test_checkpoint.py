@@ -1,0 +1,88 @@
+"""Checkpoint round-trip tests (new scope vs the reference — SURVEY.md §5
+notes the reference has no save/load; this is the orbax/safetensors layer).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_from_scratch_tpu.core.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SamplingParams,
+    SchedulerConfig,
+)
+from vllm_from_scratch_tpu.core.engine import LLMEngine
+from vllm_from_scratch_tpu.utils.checkpoint import (
+    config_from_dict,
+    config_to_dict,
+    export_safetensors,
+    import_safetensors,
+)
+
+
+def tiny_config(**model_kw):
+    return EngineConfig(
+        model=ModelConfig(
+            vocab_size=128, hidden_size=32, num_layers=2, num_heads=2,
+            num_kv_heads=2, max_position=128, intermediate_size=32, **model_kw
+        ),
+        cache=CacheConfig(block_size=16, num_blocks=32, kv_quant="int8"),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_num_batched_tokens=64),
+    )
+
+
+def test_config_roundtrip():
+    cfg = tiny_config(num_experts=4, top_k=2, kv_lora_rank=8,
+                      qk_rope_head_dim=4, qk_nope_head_dim=8, v_head_dim=8)
+    assert config_from_dict(config_to_dict(cfg)) == cfg
+
+
+def test_engine_save_load_same_outputs(tmp_path):
+    """Greedy generation is identical before and after a checkpoint cycle."""
+    cfg = tiny_config()
+    eng = LLMEngine(cfg)
+    eng.save(str(tmp_path / "ckpt"))
+
+    eng2 = LLMEngine.from_checkpoint(str(tmp_path / "ckpt"))
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0, ignore_eos=True)
+    prompts = [[5, 6, 7, 8], [9, 10]]
+    out1 = eng.generate(prompts, sp)
+    out2 = eng2.generate(prompts, sp)
+    assert list(out1.values()) == list(out2.values())
+
+
+def test_safetensors_roundtrip(tmp_path):
+    """Flat-tensor export/import preserves every leaf, including tuple
+    entries (the MoE shared-expert weights)."""
+    from vllm_from_scratch_tpu.models import transformer
+
+    cfg = tiny_config(num_experts=4, top_k=2, num_shared_experts=1).model
+    params = transformer.init_params(jax.random.PRNGKey(0), cfg)
+    f = str(tmp_path / "m.safetensors")
+    export_safetensors(f, params)
+    restored = import_safetensors(f, params)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0],
+        jax.tree_util.tree_flatten_with_path(restored)[0],
+    ):
+        assert p1 == p2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_safetensors_shape_mismatch_raises(tmp_path):
+    from vllm_from_scratch_tpu.models import transformer
+
+    cfg = tiny_config().model
+    params = transformer.init_params(jax.random.PRNGKey(0), cfg)
+    f = str(tmp_path / "m.safetensors")
+    export_safetensors(f, params)
+    import dataclasses
+
+    bigger = transformer.init_params(
+        jax.random.PRNGKey(0), dataclasses.replace(cfg, hidden_size=64)
+    )
+    with pytest.raises((ValueError, KeyError)):
+        import_safetensors(f, bigger)

@@ -198,6 +198,28 @@ class LLMEngine:
         self._first_token_time: Dict[int, float] = {}
         self._arrival: Dict[int, float] = {}
 
+    # ---- checkpointing --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist params + full engine config (utils/checkpoint.py)."""
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.params, self.config)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **overrides) -> "LLMEngine":
+        """Rebuild an engine from a saved checkpoint.  ``overrides`` replace
+        EngineConfig fields (e.g. a different ParallelConfig for restore onto
+        a new mesh — shardings are re-applied by the constructor)."""
+        from ..utils.checkpoint import load_checkpoint
+
+        params, config = load_checkpoint(path)
+        if config is None:
+            raise FileNotFoundError(f"{path}/config.json not found")
+        if overrides:
+            config = config.replace(**overrides)
+        return cls(config, params=params)
+
     # ---- request API ---------------------------------------------------------
 
     def add_request(

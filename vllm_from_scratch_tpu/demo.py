@@ -1,0 +1,205 @@
+"""Runnable walkthroughs — the ``__main__`` demos of every subsystem.
+
+Equivalent of the reference's per-module demo/benchmark suites (SURVEY.md
+component 30: mini_vllm.py:790-995, mini_moe.py:366-526, mini_mla.py:369-499,
+global_kv_pool.py:618-760).  Run all, or one:
+
+    python -m vllm_from_scratch_tpu.demo            # all
+    python -m vllm_from_scratch_tpu.demo engine     # one section
+
+Sections: paged, prefix, moe, mla, engine, spec, cluster.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def demo_paged():
+    """Paged attention == dense attention through a shuffled block table
+    (ref: 01_paged_attention demo)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.attention import (
+        dense_attention, init_kv_cache, paged_attention, write_kv_cache,
+    )
+
+    print("== paged attention ==")
+    BS, Hkv, D, S = 16, 4, 32, 45
+    cache = init_kv_cache(16, BS, Hkv, D, kv_quant="int8")
+    k = jax.random.normal(jax.random.PRNGKey(0), (S, Hkv, D))
+    v = jax.random.normal(jax.random.PRNGKey(1), (S, Hkv, D))
+    blocks = [3, 9, 1]  # deliberately non-contiguous physical pages
+    slots = jnp.asarray([blocks[i // BS] * BS + i % BS for i in range(S)])
+    cache = write_kv_cache(cache, k, v, slots)
+    q = jax.random.normal(jax.random.PRNGKey(2), (1, 1, Hkv, D))
+    out = paged_attention(
+        q, cache, jnp.asarray([blocks]), jnp.asarray([S]), None, block_size=BS
+    )
+    ref = dense_attention(q, k[None], v[None], causal=True, history_len=S - 1)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    print(f"  blocks {blocks} (scattered), S={S}: max |paged - dense| = {err:.2e}"
+          f"  (INT8 KV tolerance)")
+
+
+def demo_prefix():
+    """Chained-hash prefix cache: second request reuses the first's pages
+    (ref: 02_kvcache + mini_vllm prefix demo)."""
+    from .core.config import SamplingParams
+    from .core.kv_cache_manager import KVCacheManager
+    from .core.request import Request
+
+    print("== prefix cache ==")
+    mgr = KVCacheManager(num_blocks=64, block_size=16)
+    sp = SamplingParams(max_new_tokens=4)
+    sys_prompt = list(range(100, 148))  # 3 full blocks
+    r1 = Request(req_id=1, prompt_token_ids=sys_prompt + [1, 2], sampling=sp)
+    blocks, cached = mgr.get_computed_blocks(r1)
+    mgr.allocate_slots(r1, len(r1.prompt_token_ids))
+    r1.num_computed_tokens = len(r1.prompt_token_ids)
+    mgr.cache_blocks(r1)
+    print(f"  req1: cached_tokens={cached}, blocks={r1.block_ids}")
+
+    r2 = Request(req_id=2, prompt_token_ids=sys_prompt + [7, 8, 9], sampling=sp)
+    blocks2, cached2 = mgr.get_computed_blocks(r2)
+    print(f"  req2 (same 48-token prefix): prefix hit = {cached2} tokens, "
+          f"reused physical blocks {blocks2}")
+    assert blocks2 == r1.block_ids[:3]
+
+
+def demo_moe():
+    """Grouped-TopK routing + ragged grouped GEMM (ref: 03_moe demo)."""
+    import jax
+
+    from .models.moe import init_moe_params, moe_ffn
+
+    print("== MoE ==")
+    T, D, F, E = 64, 32, 64, 8
+    p = init_moe_params(jax.random.PRNGKey(0), D, F, E, num_shared_experts=1)
+    x = jax.random.normal(jax.random.PRNGKey(1), (T, D))
+    out, aux = moe_ffn(
+        x, p["gate"], p["w_gate"], p["w_up"], p["w_down"],
+        top_k=2, num_groups=4, topk_group=1, shared=p["shared"],
+    )
+    dense_flops = T * D * F * 3 * E       # if every expert ran every token
+    moe_flops = T * D * F * 3 * 2         # top-2 routing
+    print(f"  tokens={T}, experts={E}, top_k=2 grouped(4 groups): out {out.shape},"
+          f" aux_loss={float(aux):.4f}")
+    print(f"  compute vs dense-all-experts: {dense_flops / moe_flops:.0f}x less")
+
+
+def demo_mla():
+    """Latent KV compression factor (ref: 04_mla compare_kv_cache_size)."""
+    from .models.mla import compare_kv_cache_size
+
+    print("== MLA ==")
+    r = compare_kv_cache_size(
+        num_heads=128, head_dim=128, kv_lora_rank=512, rope_dim=64
+    )
+    for k, v in r.items():
+        print(f"  {k}: {v}")
+
+
+def demo_engine():
+    """Continuous batching + chunked prefill + INT8 paged KV end to end
+    (ref: 05_mini_vllm demo + benchmark_throughput)."""
+    from .core.config import (
+        CacheConfig, EngineConfig, ModelConfig, SamplingParams, SchedulerConfig,
+    )
+    from .core.engine import LLMEngine
+    from .utils.profiling import benchmark_throughput
+
+    print("== engine ==")
+    eng = LLMEngine(EngineConfig(
+        model=ModelConfig(vocab_size=512, hidden_size=64, num_layers=2,
+                          num_heads=4, num_kv_heads=4, max_position=512,
+                          intermediate_size=64),
+        cache=CacheConfig(block_size=16, num_blocks=128, kv_quant="int8"),
+        scheduler=SchedulerConfig(max_num_seqs=8, max_num_batched_tokens=256,
+                                  decode_steps=8),
+    ))
+    rng = np.random.RandomState(0)
+    prompts = [list(rng.randint(1, 511, 32)) for _ in range(8)]
+    sp = SamplingParams(max_new_tokens=32, temperature=0.8, top_p=0.95,
+                        ignore_eos=True)
+    m = benchmark_throughput(eng, prompts, sp)
+    print(f"  8 reqs x 32 prompt -> 32 new: decode {m['decode_tokens_per_s']:.0f}"
+          f" tok/s, total {m['total_tokens_per_s']:.0f} tok/s,"
+          f" p50 TTFT {m['p50_ttft_ms']:.1f} ms,"
+          f" prefix hit rate {m['prefix_cache_hit_rate']:.2f}")
+
+
+def demo_spec():
+    """Speculative decoding: draft + exact rejection sampling
+    (ref: blog component 32)."""
+    from .core.config import (
+        CacheConfig, EngineConfig, ModelConfig, SamplingParams, SchedulerConfig,
+        SpecConfig,
+    )
+    from .core.engine import LLMEngine
+
+    print("== speculative decoding ==")
+    target = ModelConfig(vocab_size=256, hidden_size=64, num_layers=2,
+                         num_heads=4, num_kv_heads=4, max_position=256,
+                         intermediate_size=64)
+    draft = ModelConfig(vocab_size=256, hidden_size=32, num_layers=1,
+                        num_heads=2, num_kv_heads=2, max_position=256,
+                        intermediate_size=32)
+    eng = LLMEngine(EngineConfig(
+        model=target,
+        cache=CacheConfig(block_size=16, num_blocks=64),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=128),
+        spec=SpecConfig(draft=draft, num_draft_tokens=4),
+    ))
+    sp = SamplingParams(max_new_tokens=24, temperature=0.0, ignore_eos=True)
+    out = eng.generate([[3, 4, 5], [10, 11]], sp)
+    s = eng.stats()
+    acc = s.get("spec_accepted", 0) / max(s.get("spec_drafted", 1), 1)
+    print(f"  outputs lens: {[len(v) for v in out.values()]};"
+          f" draft acceptance rate alpha = {acc:.2f}")
+
+
+def demo_cluster():
+    """PD disaggregation over the global KV pool (ref: 06 demo): second
+    request's shared prefix is pulled from the pool instead of recomputed."""
+    from .distributed.cluster import SimulatedCluster
+
+    print("== global KV pool / PD disaggregation ==")
+    cl = SimulatedCluster(num_prefill_nodes=2, num_decode_nodes=2)
+    prefix = list(range(512))
+    t0 = time.monotonic()
+    cached1, ms1 = cl.simulate_prefill("req1", prefix + [1, 2, 3], 0)
+    cached2, ms2 = cl.simulate_prefill("req2", prefix + [9, 8, 7], 1)  # other node
+    _, ms3 = cl.simulate_decode("req3", prefix + [1, 2, 3], 0)
+    print(f"  req1 (cold, node P0): cached={cached1} tok, {ms1:.0f} ms")
+    print(f"  req2 (shared 512-tok prefix, node P1): cached={cached2} tok, "
+          f"{ms2:.0f} ms  ({ms1 / max(ms2, 1e-9):.1f}x faster)")
+    print(f"  req3 (decode node pulls KV, skips prefill): {ms3:.0f} ms")
+    print(f"  pool: {cl.meta_server.total_blocks} blocks, "
+          f"hit rate {cl.meta_server.hit_rate:.2f}")
+
+
+SECTIONS = {
+    "paged": demo_paged,
+    "prefix": demo_prefix,
+    "moe": demo_moe,
+    "mla": demo_mla,
+    "engine": demo_engine,
+    "spec": demo_spec,
+    "cluster": demo_cluster,
+}
+
+
+def main(argv):
+    names = argv[1:] or list(SECTIONS)
+    for n in names:
+        SECTIONS[n]()
+        print()
+
+
+if __name__ == "__main__":
+    main(sys.argv)

@@ -48,7 +48,7 @@ class GlobalMetadataServer:
         self._lock = threading.RLock()
         self._blocks: Dict[Hashable, KVBlockMeta] = {}
         self._node_blocks: Dict[int, Set[Hashable]] = {}
-        self.total_queries = 0   # query_prefix calls
+        self.total_queries = 0   # individual block lookups (global_kv_pool.py:121)
         self.total_hits = 0      # blocks matched across all queries
 
     # ---- lookup -----------------------------------------------------------
@@ -58,7 +58,9 @@ class GlobalMetadataServer:
     ) -> Tuple[int, List[KVBlockMeta]]:
         """Longest registered prefix of the hash chain; stops at first miss."""
         with self._lock:
-            self.total_queries += 1
+            # Per-BLOCK lookup count (global_kv_pool.py:121), so hit_rate is a
+            # true fraction <= 1, not blocks-per-call.
+            self.total_queries += len(block_hashes)
             matched: List[KVBlockMeta] = []
             now = time.monotonic()
             for h in block_hashes:
