@@ -122,3 +122,69 @@ class TestMeshConstruction:
         sh = param_shardings(cfg, make_mesh(ParallelConfig(tp_size=4)))
         # identical tree structure => device_put will succeed
         jax.tree.map(lambda a, s: None, params, sh)
+
+
+class TestContextParallel:
+    """SP/CP (SURVEY.md §2c): sequence-sharded prefill attention must equal
+    dense causal attention — all three variants (all-gather CP, ring, and
+    Ulysses) are layout changes, not numerics changes."""
+
+    def _data(self, B=2, S=64, Hq=4, Hkv=2, D=16):
+        ks = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(ks[0], (B, S, Hq, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, Hkv, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, Hkv, D), jnp.float32)
+        return q, k, v
+
+    def _oracle(self, q, k, v):
+        from vllm_from_scratch_tpu.ops.attention import dense_attention
+
+        return dense_attention(q, k, v, causal=True)
+
+    def _mesh(self):
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("sp",))
+
+    def test_cp_prefill_matches_dense(self):
+        from vllm_from_scratch_tpu.parallel.cp import cp_prefill_attention
+
+        q, k, v = self._data()
+        out = cp_prefill_attention(q, k, v, self._mesh(), axis="sp")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(self._oracle(q, k, v)), atol=1e-5
+        )
+
+    def test_ring_attention_matches_dense(self):
+        from vllm_from_scratch_tpu.parallel.cp import ring_attention
+
+        q, k, v = self._data()
+        out = ring_attention(q, k, v, self._mesh(), axis="sp")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(self._oracle(q, k, v)), atol=1e-5
+        )
+
+    def test_ulysses_matches_dense(self):
+        from vllm_from_scratch_tpu.parallel.cp import ulysses_attention
+
+        q, k, v = self._data(Hq=8, Hkv=8)  # heads must divide axis size
+        out = ulysses_attention(q, k, v, self._mesh(), axis="sp")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(self._oracle(q, k, v)), atol=1e-5
+        )
+
+    def test_ring_attention_jit_under_mesh(self):
+        """jit-compiles with sharded inputs (the production entry path)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vllm_from_scratch_tpu.parallel.cp import ring_attention
+
+        mesh = self._mesh()
+        q, k, v = self._data()
+        sh = NamedSharding(mesh, P(None, "sp"))
+        q, k, v = jax.device_put(q, sh), jax.device_put(k, sh), jax.device_put(v, sh)
+        f = jax.jit(lambda q, k, v: ring_attention(q, k, v, mesh, axis="sp"))
+        out = f(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(self._oracle(q, k, v)), atol=1e-5
+        )
