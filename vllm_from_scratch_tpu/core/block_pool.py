@@ -136,6 +136,16 @@ class BlockPool:
             return 0.0
         return 1.0 - self.get_num_free_blocks() / total
 
+    def lookup_prefix(self, block_hashes: Sequence[BlockHash]) -> List[int]:
+        """Ids of the longest cached prefix (chain stops at first miss)."""
+        hits: List[int] = []
+        for h in block_hashes:
+            bid = self.get_cached_block(h)
+            if bid is None:
+                break
+            hits.append(bid)
+        return hits
+
     def get_cached_block(self, block_hash: BlockHash) -> Optional[int]:
         entry = self.cached.get(block_hash)
         if not entry:

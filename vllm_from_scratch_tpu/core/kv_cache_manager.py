@@ -28,6 +28,20 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _make_pool(num_blocks: int, enable_caching: bool, impl: str = "auto"):
+    """"native" = the C++ pool (native/block_pool.cc), "python" = BlockPool,
+    "auto" = native when the toolchain/library is available."""
+    if impl in ("auto", "native"):
+        try:
+            from ..native import NativeBlockPool
+
+            return NativeBlockPool(num_blocks, enable_caching)
+        except Exception:
+            if impl == "native":
+                raise
+    return BlockPool(num_blocks, enable_caching)
+
+
 class KVCacheManager:
     def __init__(
         self,
@@ -35,11 +49,12 @@ class KVCacheManager:
         block_size: int,
         enable_caching: bool = True,
         extra_key: Optional[str] = None,
+        pool_impl: str = "auto",
     ):
         self.block_size = block_size
         self.enable_caching = enable_caching
         self.extra_key = extra_key
-        self.pool = BlockPool(num_blocks, enable_caching)
+        self.pool = _make_pool(num_blocks, enable_caching, pool_impl)
 
         # prefix-cache observability (BASELINE north-star metric).
         self.query_blocks = 0
@@ -83,14 +98,9 @@ class KVCacheManager:
         if not self.enable_caching:
             return [], 0
         self._extend_block_hashes(request)
-        hits: List[int] = []
-        for h in request.block_hashes:
-            self.query_blocks += 1
-            bid = self.pool.get_cached_block(h)
-            if bid is None:
-                break
-            self.hit_blocks += 1
-            hits.append(bid)
+        hits = self.pool.lookup_prefix(request.block_hashes)
+        self.query_blocks += len(request.block_hashes)
+        self.hit_blocks += len(hits)
         # Never satisfy the entire prompt from cache.
         max_hit_tokens = request.num_prompt_tokens - 1
         while hits and len(hits) * self.block_size > max_hit_tokens:
