@@ -1,0 +1,136 @@
+"""Weight-only INT8 quantization (QuantConfig.weight_quant="int8").
+
+The reference has no quantization (SURVEY.md: everything fp32); weight-only
+INT8 with per-output-channel scales is part of this framework's BASELINE
+contract.  Contracts tested: mm() accuracy vs float, every model family
+serving under int8 weights, EP + weight quant on a mesh, and the memory win.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_from_scratch_tpu.core.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    ParallelConfig,
+    QuantConfig,
+    SamplingParams,
+    SchedulerConfig,
+)
+from vllm_from_scratch_tpu.core.engine import LLMEngine
+from vllm_from_scratch_tpu.models import transformer
+from vllm_from_scratch_tpu.models.layers import QuantizedLinear, mm, quantize_linear
+
+GREEDY = SamplingParams(max_new_tokens=6, temperature=0.0, ignore_eos=True)
+
+
+def cfg_for(family: str, parallel=None, weight_quant="int8"):
+    kw = dict(vocab_size=128, hidden_size=64, num_layers=2, num_heads=4,
+              num_kv_heads=4, max_position=256, intermediate_size=64)
+    if family in ("mla", "flagship"):
+        kw.update(kv_lora_rank=16, qk_rope_head_dim=8, qk_nope_head_dim=16,
+                  v_head_dim=16)
+    if family in ("moe", "flagship"):
+        kw.update(num_experts=8, top_k=2, num_shared_experts=1)
+    return EngineConfig(
+        model=ModelConfig(**kw),
+        cache=CacheConfig(block_size=16, num_blocks=64, kv_quant="int8"),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64),
+        quant=QuantConfig(weight_quant=weight_quant),
+        parallel=parallel or ParallelConfig(),
+    )
+
+
+class TestMM:
+    def test_int8_matmul_accuracy(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        x = jax.random.normal(k1, (32, 64), jnp.float32)
+        w = 0.02 * jax.random.normal(k2, (64, 128), jnp.float32)
+        out = mm(x, quantize_linear(w))
+        ref = x @ w
+        # per-channel int8: relative error ~1/127 on the channel amax
+        err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+        assert err < 0.05, err
+
+    def test_stacked_layers_slice_under_scan(self):
+        """QuantizedLinear with [L, in, out] slices correctly in lax.scan."""
+        w = 0.02 * jax.random.normal(jax.random.PRNGKey(0), (3, 16, 32))
+        qw = quantize_linear(w)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 16))
+
+        def step(carry, wl):
+            return carry, mm(x, wl)
+
+        _, ys = jax.lax.scan(step, 0, qw)
+        for l in range(3):
+            np.testing.assert_allclose(
+                np.asarray(ys[l]), np.asarray(mm(x, quantize_linear(w[l]))),
+                atol=1e-6,
+            )
+
+
+@pytest.mark.parametrize("family", ["mha", "moe", "mla", "flagship"])
+class TestEngineWeightQuant:
+    def test_generates(self, family):
+        eng = LLMEngine(cfg_for(family))
+        out = eng.generate([[5, 6, 7, 8], [9, 10]], GREEDY)
+        assert all(len(v) == 6 for v in out.values())
+
+    def test_logits_close_to_float(self, family):
+        """Quantized-weight logits stay close to the float model's (same
+        params, quantized after init)."""
+        cfg = cfg_for(family, weight_quant="none")
+        eng = LLMEngine(cfg)
+        qparams = transformer.quantize_params(eng.params, cfg.model)
+
+        from vllm_from_scratch_tpu.models.transformer import ModelBatch
+
+        B, T = 1, 8
+        batch = ModelBatch(
+            tokens=jnp.arange(1, T + 1, dtype=jnp.int32)[None],
+            positions=jnp.arange(T, dtype=jnp.int32)[None],
+            slots=(jnp.arange(T, dtype=jnp.int32) + cfg.cache.block_size)[None],
+            block_tables=jnp.asarray([[1, 2]], jnp.int32),
+            ctx_lens=jnp.asarray([T], jnp.int32),
+            q_lens=jnp.asarray([T], jnp.int32),
+        )
+        lf, _ = transformer.forward(
+            eng.params, eng.cache, batch, cfg.model,
+            block_size=cfg.cache.block_size)
+        cache2 = transformer.init_cache(
+            cfg.model, cfg.cache.num_blocks, cfg.cache.block_size,
+            cfg.cache.kv_quant)
+        lq, _ = transformer.forward(
+            qparams, cache2, batch, cfg.model, block_size=cfg.cache.block_size)
+        # logits are unnormalized; compare top-1 agreement + numeric closeness
+        cos = float(
+            jnp.sum(lf * lq) / (jnp.linalg.norm(lf) * jnp.linalg.norm(lq))
+        )
+        assert cos > 0.99, cos
+
+
+class TestMemoryAndParallel:
+    def test_param_bytes_shrink(self):
+        cfg = cfg_for("flagship")
+        eng = LLMEngine(cfg_for("flagship", weight_quant="none"))
+
+        def nbytes(t):
+            return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(t))
+
+        fp = nbytes(eng.params)
+        q = nbytes(transformer.quantize_params(eng.params, cfg.model))
+        assert q < 0.45 * fp, (q, fp)  # most weight mass goes 4B -> 1B+scale
+
+    @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+    def test_ep_tp4_weight_quant_matches_single(self):
+        """Sharded int8-weight engine reproduces the single-device int8
+        outputs (parallelism orthogonal to quantization)."""
+        single = LLMEngine(cfg_for("flagship"))
+        out1 = single.generate([[5, 6, 7, 8], [9, 10]], GREEDY)
+        sharded = LLMEngine(cfg_for(
+            "flagship", parallel=ParallelConfig(dp_size=2, tp_size=4)))
+        out2 = sharded.generate([[5, 6, 7, 8], [9, 10]], GREEDY)
+        assert list(out1.values()) == list(out2.values())

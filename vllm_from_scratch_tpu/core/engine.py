@@ -70,6 +70,11 @@ class LLMEngine:
             self.params = shd.shard_params(self.params, mcfg, self.mesh)
             self.cache = shd.shard_cache(self.cache, mcfg, self.mesh)
 
+        # Weight-only INT8 (after sharding: quantize ops run under GSPMD, so
+        # int8 weights + scales inherit the float weights' layouts).
+        if config.quant.weight_quant == "int8":
+            self.params = transformer.quantize_params(self.params, mcfg)
+
         # Widest possible block table row (bucketed down per call).
         self.max_blocks_per_seq = min(
             cdiv(mcfg.max_position, ccfg.block_size), ccfg.num_blocks

@@ -8,8 +8,55 @@ the idiomatic JAX shape, so layers compose under jit / scan / shard_map.
 
 from __future__ import annotations
 
+from typing import NamedTuple, Union
+
 import jax
 import jax.numpy as jnp
+
+
+class QuantizedLinear(NamedTuple):
+    """Weight-only INT8 linear: (int8 weights, per-output-channel scales).
+
+    Supports stacked leading axes ([L, in, out] / [L, E, in, out]) — as a
+    NamedTuple it is a pytree, so lax.scan slices q and scale together.
+    """
+
+    q: jax.Array       # int8 [..., in, out]
+    scale: jax.Array   # f32  [..., out]
+
+
+Weight = Union[jax.Array, QuantizedLinear]
+
+
+def quantize_linear(w: jax.Array) -> QuantizedLinear:
+    """Symmetric per-output-channel INT8 (amax over the input axis, -2)."""
+    from ..ops.quant import quantize_int8
+
+    q, s = quantize_int8(w, axis=-2)
+    return QuantizedLinear(q, s)
+
+
+def dequantize_linear(w: Weight, dtype=jnp.bfloat16) -> jax.Array:
+    if isinstance(w, QuantizedLinear):
+        return (w.q.astype(jnp.float32) * w.scale[..., None, :]).astype(dtype)
+    return w
+
+
+def mm(x: jax.Array, w: Weight) -> jax.Array:
+    """x @ w for float or weight-only-INT8 weights.
+
+    INT8 path: the matmul runs on the int8 operand (MXU handles the int8->
+    bf16 convert in-flight) and the per-channel scale multiplies the f32
+    accumulator — the dequant never materializes in HBM (ops/quant.py
+    int8_matmul contract)."""
+    if isinstance(w, QuantizedLinear):
+        acc = jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w.q.astype(jnp.bfloat16),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (acc * w.scale).astype(x.dtype)
+    return x @ w
 
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
@@ -19,10 +66,10 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * weight
 
 
-def swiglu(x: jax.Array, w_gate: jax.Array, w_up: jax.Array, w_down: jax.Array) -> jax.Array:
+def swiglu(x: jax.Array, w_gate: Weight, w_up: Weight, w_down: Weight) -> jax.Array:
     """down(silu(x @ gate) * (x @ up)) — bias-free, LLaMA/DeepSeek style."""
-    g = jax.nn.silu(x @ w_gate)
-    return (g * (x @ w_up)) @ w_down
+    g = jax.nn.silu(mm(x, w_gate))
+    return mm(g * mm(x, w_up), w_down)
 
 
 def init_linear(key, d_in: int, d_out: int, dtype=jnp.float32, scale: float = 0.02):

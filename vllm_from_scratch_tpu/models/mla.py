@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ..core.config import ModelConfig
 from ..ops.mla_attention import MLACache, mla_paged_attention, write_mla_cache
 from ..ops.rotary import apply_rope
-from .layers import rms_norm
+from .layers import mm, rms_norm
 
 
 def mla_dims(cfg: ModelConfig) -> Tuple[int, int, int, int, int]:
@@ -87,13 +87,13 @@ def mla_attention_block(
     x = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
 
     # Q: low-rank two-stage projection, split nope | rope.
-    q = rms_norm(x @ layer["q_a"], layer["q_a_norm"], cfg.rms_norm_eps) @ layer["q_b"]
+    q = mm(rms_norm(mm(x, layer["q_a"]), layer["q_a_norm"], cfg.rms_norm_eps), layer["q_b"])
     q = q.reshape(B, T, nh, dn + dr)
     q_nope, q_rope = q[..., :dn], q[..., dn:]
     q_rope = apply_rope(q_rope, batch.positions, rope_table)
 
     # KV: compress to latent + shared rotary key; normalize latent, rotate key.
-    ckr = x @ layer["kv_a"]                                   # [B, T, r+dr]
+    ckr = mm(x, layer["kv_a"])                                # [B, T, r+dr]
     c_kv = rms_norm(ckr[..., :r], layer["kv_norm"], cfg.rms_norm_eps)
     k_rope = ckr[..., r:][:, :, None, :]                      # [B, T, 1, dr]
     k_rope = apply_rope(k_rope, batch.positions, rope_table)[:, :, 0]
@@ -110,7 +110,7 @@ def mla_attention_block(
         q_nope, q_rope, cache_l, batch.block_tables, batch.ctx_lens, batch.q_lens,
         w_uk, w_uv, block_size=block_size, sm_scale=(dn + dr) ** -0.5,
     )
-    return (out.astype(h.dtype).reshape(B, T, nh * dv)) @ layer["wo"], cache_l
+    return mm(out.astype(h.dtype).reshape(B, T, nh * dv), layer["wo"]), cache_l
 
 
 def compare_kv_cache_size(

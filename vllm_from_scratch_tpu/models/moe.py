@@ -29,6 +29,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .layers import dequantize_linear, mm
+
 
 class RouterOutput(NamedTuple):
     weights: jax.Array   # [T, K] normalized routing weights
@@ -132,7 +134,7 @@ def moe_ffn(
     """
     T, D = x.shape
     E_global = num_global_experts or gate_w.shape[-1]
-    E_local = w_gate.shape[0]
+    E_local = (w_gate.q if hasattr(w_gate, "q") else w_gate).shape[0]
     r = route(x @ gate_w, top_k, num_groups, topk_group)
 
     K = r.ids.shape[1]
@@ -157,13 +159,19 @@ def moe_ffn(
     group_sizes = jnp.bincount(sorted_ids, length=E_local)
 
     x_rep = x[token_idx]                               # [M, D] sorted by expert
+    # Weight-only INT8 experts: ragged_dot wants float operands, so the
+    # dequant happens here (per call); XLA fuses convert*scale into the
+    # producer of each expert segment.
+    w_gate = dequantize_linear(w_gate, x.dtype)
+    w_up = dequantize_linear(w_up, x.dtype)
+    w_down = dequantize_linear(w_down, x.dtype)
     y = grouped_expert_ffn(x_rep.astype(w_gate.dtype), group_sizes, w_gate, w_up, w_down)
     y = y * flat_w[order][:, None].astype(y.dtype)
 
     out = jnp.zeros((T, D), y.dtype).at[token_idx].add(y)
     if shared is not None:
         wg, wu, wd = shared
-        out = out + (jax.nn.silu(x @ wg) * (x @ wu)) @ wd
+        out = out + mm(jax.nn.silu(mm(x, wg)) * mm(x, wu), wd)
     return out.astype(x.dtype), r.aux_loss * aux_loss_coeff
 
 

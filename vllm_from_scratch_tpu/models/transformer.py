@@ -30,7 +30,9 @@ from ..ops.mla_attention import init_mla_cache
 from ..ops.rotary import apply_rope, make_rope_table
 from . import mla as mla_mod
 from . import moe as moe_mod
-from .layers import init_linear, rms_norm, swiglu
+from .layers import (
+    QuantizedLinear, init_linear, mm, quantize_linear, rms_norm, swiglu,
+)
 
 
 class ModelBatch(NamedTuple):
@@ -96,6 +98,30 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> dict:
     }
 
 
+def quantize_params(params: dict, cfg: ModelConfig) -> dict:
+    """Weight-only INT8 (QuantConfig.weight_quant="int8"): every large matmul
+    weight becomes a (int8, per-out-channel scale) QuantizedLinear.  Kept
+    float: embed (gather), norms, rope, router gate (tiny), and MLA kv_b
+    (split/transposed into W_UK/W_UV at use, mla.py:63-69).  Apply AFTER
+    sharding — the quantize ops run under GSPMD and outputs inherit layouts.
+    """
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in ("wq", "wkv", "wo", "w_gate", "w_up", "w_down", "q_a", "q_b", "kv_a"):
+        if k in layers:
+            layers[k] = quantize_linear(layers[k])
+    if "moe" in layers:
+        moe = dict(layers["moe"])
+        for k in ("w_gate", "w_up", "w_down"):
+            moe[k] = quantize_linear(moe[k])        # [L, E, D, F] -> scale [L, E, F]
+        if "shared" in moe:
+            moe["shared"] = tuple(quantize_linear(w) for w in moe["shared"])
+        layers["moe"] = moe
+    out["layers"] = layers
+    out["lm_head"] = quantize_linear(params["lm_head"])
+    return out
+
+
 def init_cache(cfg: ModelConfig, num_blocks: int, block_size: int, kv_quant: str):
     """Layer-stacked paged cache: arrays carry a leading [L] axis and are
     sliced per layer by the scan.  MLA models cache (c_kv | k_rope) latents
@@ -150,7 +176,7 @@ def forward(
                 f = ep_moe_ffn(xf, m, cfg, mesh)
                 if "shared" in m:  # dense shared expert stays under GSPMD
                     wg, wu, wd = m["shared"]
-                    f = f + (jax.nn.silu(xf @ wg) * (xf @ wu)) @ wd
+                    f = f + mm(jax.nn.silu(mm(xf, wg)) * mm(xf, wu), wd)
             else:
                 f, _aux = moe_mod.moe_ffn(
                     xf,
@@ -170,12 +196,12 @@ def forward(
 
     if return_all_logits:
         # Per-position logits (speculative-decode verify path).
-        return (x @ params["lm_head"]).astype(jnp.float32), new_cache
+        return mm(x, params["lm_head"]).astype(jnp.float32), new_cache
 
     # Gather each request's last valid position (q_len-1; pad rows read 0).
     last = jnp.maximum(batch.q_lens - 1, 0)  # [B]
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]  # [B, H]
-    logits = (x_last @ params["lm_head"]).astype(jnp.float32)
+    logits = mm(x_last, params["lm_head"]).astype(jnp.float32)
     return logits, new_cache
 
 
@@ -184,8 +210,8 @@ def _attn(layer, cache_l, h, batch, cfg, rope, block_size):
     B, T, H = h.shape
     D, Hq, Hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
     x = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
-    q = (x @ layer["wq"]).reshape(B, T, Hq, D)
-    kv = (x @ layer["wkv"]).reshape(B, T, 2 * Hkv, D)
+    q = mm(x, layer["wq"]).reshape(B, T, Hq, D)
+    kv = mm(x, layer["wkv"]).reshape(B, T, 2 * Hkv, D)
     k, v = kv[:, :, :Hkv], kv[:, :, Hkv:]
     q = apply_rope(q, batch.positions, rope)
     k = apply_rope(k, batch.positions, rope)
@@ -200,4 +226,4 @@ def _attn(layer, cache_l, h, batch, cfg, rope, block_size):
         q, cache_l, batch.block_tables, batch.ctx_lens, batch.q_lens,
         block_size=block_size,
     )
-    return (out.astype(h.dtype).reshape(B, T, Hq * D)) @ layer["wo"], cache_l
+    return mm(out.astype(h.dtype).reshape(B, T, Hq * D), layer["wo"]), cache_l

@@ -19,7 +19,16 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core.config import ModelConfig
+from ..models.layers import QuantizedLinear
 from ..models.moe import moe_ffn
+
+
+def _expert_spec(w):
+    """Partition spec for an expert weight stack [E, in, out] — handles the
+    weight-only-INT8 form (QuantizedLinear: q [E,in,out], scale [E,out])."""
+    if isinstance(w, QuantizedLinear):
+        return QuantizedLinear(P("tp", None, None), P("tp", None))
+    return P("tp", None, None)
 
 
 def ep_moe_ffn(
@@ -36,6 +45,7 @@ def ep_moe_ffn(
     tp = mesh.shape["tp"]
     E_local = cfg.num_experts // tp
     assert E_local * tp == cfg.num_experts, "num_experts must divide tp_size"
+    wg, wu, wd = moe_params["w_gate"], moe_params["w_up"], moe_params["w_down"]
 
     def local_fn(xs, gate, wg, wu, wd):
         offset = jax.lax.axis_index("tp") * E_local
@@ -53,12 +63,11 @@ def ep_moe_ffn(
         in_specs=(
             P("dp", None),            # tokens: dp rows, replicated over tp
             P(),                      # router gate: replicated
-            P("tp", None, None),      # expert slices
-            P("tp", None, None),
-            P("tp", None, None),
+            _expert_spec(wg),         # expert slices (float or int8+scale)
+            _expert_spec(wu),
+            _expert_spec(wd),
         ),
         out_specs=P("dp", None),
         check_vma=False,
     )
-    return fn(x, moe_params["gate"], moe_params["w_gate"],
-              moe_params["w_up"], moe_params["w_down"])
+    return fn(x, moe_params["gate"], wg, wu, wd)
