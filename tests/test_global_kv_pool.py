@@ -350,3 +350,48 @@ class TestSimulatedCluster:
         assert cached == BLOCK_SIZE * 4
         assert cluster.prefill_nodes[1].stats["transfers"] > 0
         assert cluster.prefill_nodes[1].stats["transferred_bytes"] > 0
+
+
+class TestPoolKeyLayout:
+    """PoolKey addressing (BLOG_PART2B_V2.md:1247-1291): KV is only reusable
+    between nodes with identical (model, tp_rank, pp_rank) layout."""
+
+    def test_tp_rank_isolates_entries(self):
+        from vllm_from_scratch_tpu.distributed.connector import KVConnector
+        from vllm_from_scratch_tpu.distributed.metadata import GlobalMetadataServer
+        from vllm_from_scratch_tpu.distributed.transfer import TransferEngine
+
+        meta = GlobalMetadataServer()
+        c_tp0 = KVConnector(0, meta, TransferEngine(0), 16, model="m", tp_rank=0)
+        c_tp1 = KVConnector(1, meta, TransferEngine(1), 16, model="m", tp_rank=1)
+        c_tp0_b = KVConnector(2, meta, TransferEngine(2), 16, model="m", tp_rank=0)
+
+        hs = hashes_of(list(range(32)))
+        c_tp0.publish_kv(hs)
+        # other tp rank: same hashes, no hit (different shard layout)
+        n, _ = c_tp1.get_num_new_matched_tokens("r1", hs)
+        assert n == 0
+        # same layout on another node: full hit
+        n, load_async = c_tp0_b.get_num_new_matched_tokens("r2", hs)
+        assert n == len(hs) * 16 and load_async
+        assert c_tp0_b.wait_for_kv("r2")
+
+    def test_model_isolates_entries(self):
+        from vllm_from_scratch_tpu.distributed.connector import KVConnector
+        from vllm_from_scratch_tpu.distributed.metadata import GlobalMetadataServer
+        from vllm_from_scratch_tpu.distributed.transfer import TransferEngine
+
+        meta = GlobalMetadataServer()
+        a = KVConnector(0, meta, TransferEngine(0), 16, model="llama")
+        b = KVConnector(1, meta, TransferEngine(1), 16, model="deepseek")
+        hs = hashes_of(list(range(16)))
+        a.publish_kv(hs)
+        n, _ = b.get_num_new_matched_tokens("r", hs)
+        assert n == 0
+
+    def test_pp_rank_field_reserved(self):
+        from vllm_from_scratch_tpu.distributed.metadata import PoolKey
+
+        k1 = PoolKey(b"h", "m", tp_rank=0, pp_rank=0)
+        k2 = PoolKey(b"h", "m", tp_rank=0, pp_rank=1)
+        assert k1 != k2 and hash(k1) != hash(k2)

@@ -136,3 +136,26 @@ class TestMLAKernel:
 
     def test_chunked_prefill(self, kv_quant):
         self._run(kv_quant, Tq=8, q_lens=[8, 3, 5], seq_lens=[33, 17, 48])
+
+
+@pytest.mark.parametrize("kv_quant", ["none", "int8"])
+def test_kv_write_kernel_matches_xla(kv_quant):
+    """Fused quantize+scatter write == the XLA write path; untouched rows
+    keep their bytes (in-place aliasing)."""
+    from vllm_from_scratch_tpu.ops.attention import init_kv_cache, write_kv_cache
+    from vllm_from_scratch_tpu.ops.pallas.kv_write import write_kv_cache_pallas
+
+    cache = init_kv_cache(8, BS, 4, 32, kv_quant=kv_quant)
+    k = jax.random.normal(jax.random.PRNGKey(0), (10, 4, 32))
+    v = jax.random.normal(jax.random.PRNGKey(1), (10, 4, 32))
+    slots = jnp.asarray([17, 30, 31, 45, 46, 47, 48, 90, 91, 100], jnp.int32)
+    ref = write_kv_cache(cache, k, v, slots)
+    kq, vq, ks, vs = write_kv_cache_pallas(
+        cache.k, cache.v, cache.k_scale, cache.v_scale, k, v, slots,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref.k), np.asarray(kq))
+    np.testing.assert_array_equal(np.asarray(ref.v), np.asarray(vq))
+    np.testing.assert_allclose(np.asarray(ref.k_scale), np.asarray(ks), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.v_scale), np.asarray(vs), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(kq[0]), np.asarray(cache.k[0]))

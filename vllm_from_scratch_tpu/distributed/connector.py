@@ -16,7 +16,7 @@ from __future__ import annotations
 import threading
 from typing import Dict, Hashable, List, Optional, Sequence, Set, Tuple
 
-from .metadata import GlobalMetadataServer, KV_BLOCK_BYTES
+from .metadata import GlobalMetadataServer, KV_BLOCK_BYTES, PoolKey
 from .transfer import TransferEngine
 
 
@@ -27,11 +27,20 @@ class KVConnector:
         metadata_server: GlobalMetadataServer,
         transfer_engine: TransferEngine,
         block_size: int = 16,
+        model: str = "",
+        tp_rank: int = 0,
+        pp_rank: int = 0,
     ):
         self.node_id = node_id
         self.meta = metadata_server
         self.engine = transfer_engine
         self.block_size = block_size
+        # Parallel-layout coordinates baked into every pool key: KV shards
+        # are only reusable between nodes with identical (model, tp, pp)
+        # layout (PoolKey; BLOG_PART2B_V2.md:1247-1291, 1724-1737).
+        self.model = model
+        self.tp_rank = tp_rank
+        self.pp_rank = pp_rank
         self._lock = threading.Lock()
         # blocks whose KV bytes are already on this node
         self.local_blocks: Set[Hashable] = set()
@@ -45,6 +54,11 @@ class KVConnector:
             "local_hits": 0,
         }
 
+    def _key(self, block_hash: Hashable) -> Hashable:
+        if not self.model and self.tp_rank == 0 and self.pp_rank == 0:
+            return block_hash  # default layout: raw hash (reference behavior)
+        return PoolKey(block_hash, self.model, self.tp_rank, self.pp_rank)
+
     # ---- scheduler-facing API ---------------------------------------------
 
     def get_num_new_matched_tokens(
@@ -56,7 +70,9 @@ class KVConnector:
         WAITING_FOR_REMOTE_KVS until wait_for_kv(req_id) returns.
         """
         self.stats["queries"] += 1
-        num_matched, metas = self.meta.query_prefix(block_hashes)
+        num_matched, metas = self.meta.query_prefix(
+            [self._key(h) for h in block_hashes]
+        )
         if num_matched == 0:
             return 0, False
         self.stats["hits"] += num_matched
@@ -107,14 +123,15 @@ class KVConnector:
         for i, h in enumerate(block_hashes):
             tids = token_ids_per_block[i] if token_ids_per_block else ()
             if self.meta.publish(
-                h, self.node_id, tuple(tids), KV_BLOCK_BYTES, max_blocks_per_node
+                self._key(h), self.node_id, tuple(tids), KV_BLOCK_BYTES,
+                max_blocks_per_node,
             ):
                 count += 1
             with self._lock:
-                self.local_blocks.add(h)
+                self.local_blocks.add(self._key(h))
         return count
 
     def mark_local(self, block_hashes: Sequence[Hashable]) -> None:
         """Record blocks whose bytes already live on this node (post-pull)."""
         with self._lock:
-            self.local_blocks.update(block_hashes)
+            self.local_blocks.update(self._key(h) for h in block_hashes)

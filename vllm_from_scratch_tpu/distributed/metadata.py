@@ -43,6 +43,26 @@ class KVBlockMeta:
     access_count: int = 0
 
 
+@dataclass(frozen=True)
+class PoolKey:
+    """Content-addressed pool key: block hash + parallel-layout coordinates.
+
+    Port of the reference's PoolKey addressing (model@pcp@dcp@tp_rank@pp_rank
+    @hash, BLOG_PART2B_V2.md:1247-1291): KV bytes are only interchangeable
+    between nodes with the same model and the same TP/PP/CP shard layout, so
+    the layout is part of the key — pp_rank reserved from day 1
+    (BLOG_PART2B_V2.md:1259).  Frozen dataclass => hashable => usable directly
+    as a GlobalMetadataServer key.
+    """
+
+    block_hash: object
+    model: str = ""
+    tp_rank: int = 0
+    pp_rank: int = 0
+    pcp_rank: int = 0
+    dcp_rank: int = 0
+
+
 class GlobalMetadataServer:
     def __init__(self):
         self._lock = threading.RLock()
