@@ -200,11 +200,11 @@ class FakeKV(KVCacheManager):
     pass
 
 
-def sched(max_tokens=32, max_seqs=4, chunked=True, blocks=256):
+def sched(max_tokens=32, max_seqs=4, chunked=True, blocks=256, **kw):
     mgr = KVCacheManager(blocks, 16)
     return Scheduler(
         SchedulerConfig(max_num_seqs=max_seqs, max_num_batched_tokens=max_tokens,
-                        enable_chunked_prefill=chunked),
+                        enable_chunked_prefill=chunked, **kw),
         mgr,
     )
 
@@ -264,6 +264,27 @@ class TestScheduler:
         s.add_request(req(1, 4))
         out2 = s.schedule()
         assert out2[0].request.req_id == 0 and out2[0].num_new_tokens == 1
+
+    def test_max_num_partial_prefills_cap(self):
+        """With the cap at 1, only one prompt may be mid-chunk at a time
+        (vLLM SchedulerConfig, BLOG_PART2_V2.md:1147-1198)."""
+        s = sched(max_tokens=16, max_num_partial_prefills=1)
+        s.add_request(req(0, 64))
+        s.add_request(req(1, 64))
+        out = s.schedule()
+        # both need chunking; only req 0 may start
+        assert [it.request.req_id for it in out] == [0]
+
+    def test_long_prefill_threshold_lets_short_pass(self):
+        """A second LONG prompt is skipped while one long partial prefill is
+        in flight, but a short prompt behind it still admits."""
+        s = sched(max_tokens=24, long_prefill_token_threshold=20)
+        s.add_request(req(0, 64))   # long, will be chunked
+        s.add_request(req(1, 64))   # long, must wait
+        s.add_request(req(2, 4))    # short, fits entirely
+        out = s.schedule()
+        ids = [it.request.req_id for it in out]
+        assert 0 in ids and 2 in ids and 1 not in ids
 
     def test_fairness_fcfs(self):
         s = sched(max_tokens=8, max_seqs=8)

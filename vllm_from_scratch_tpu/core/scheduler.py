@@ -134,6 +134,42 @@ class Scheduler:
         preempted_now: List[Request] = []
         protected: set = set()  # req_ids staged this step — not preemptable
 
+        # Concurrent-partial-prefill limits (vLLM SchedulerConfig semantics,
+        # BLOG_PART2_V2.md:1147-1198): a prefill that will NOT complete this
+        # step is "partial"; max_num_partial_prefills caps how many run
+        # concurrently, and at most one of them may be "long" (remaining >
+        # long_prefill_token_threshold) so a huge prompt can't monopolize the
+        # chunked-prefill budget ahead of short ones.  A long prompt's chunk
+        # is additionally capped at the threshold, reserving budget for the
+        # short requests admitted after it (TTFT fairness).
+        partials = 0
+        long_partials = 0
+
+        def partial_prefill_ok(remaining: int, chunk: int) -> bool:
+            if chunk >= remaining:
+                return True  # completes this step — not a partial prefill
+            cap = self.config.max_num_partial_prefills
+            if cap and partials >= cap:
+                return False
+            thr = self.config.long_prefill_token_threshold
+            if thr and remaining > thr and long_partials >= 1:
+                return False
+            return True
+
+        def cap_chunk(remaining: int, chunk: int) -> int:
+            thr = self.config.long_prefill_token_threshold
+            if thr and remaining > thr:
+                return min(chunk, thr)
+            return chunk
+
+        def note_partial(remaining: int, chunk: int) -> None:
+            nonlocal partials, long_partials
+            if chunk < remaining:
+                partials += 1
+                thr = self.config.long_prefill_token_threshold
+                if thr and remaining > thr:
+                    long_partials += 1
+
         # Phase 1: running decodes — one token each.
         for req in list(self.running):
             if req.is_prefill or budget <= 0 or req.status is not RequestStatus.RUNNING:
@@ -160,7 +196,8 @@ class Scheduler:
                 continue
             remaining = req.num_prompt_tokens - req.num_computed_tokens
             chunk = min(remaining, budget) if self.config.enable_chunked_prefill else remaining
-            if chunk <= 0 or chunk > budget:
+            chunk = cap_chunk(remaining, chunk)
+            if chunk <= 0 or chunk > budget or not partial_prefill_ok(remaining, chunk):
                 continue
             if self._allocate_with_preemption(req, chunk, protected) is None:
                 continue
@@ -169,10 +206,15 @@ class Scheduler:
             scheduled.append(item)
             protected.add(req.req_id)
             budget -= chunk
+            note_partial(remaining, chunk)
 
-        # Phase 3: admit waiting (FCFS / priority order).
-        while self.waiting and budget > 0 and len(self.running) < self.config.max_num_seqs:
-            req = self.waiting[0]
+        # Phase 3: admit waiting (FCFS / priority order).  A request blocked
+        # only by the partial-prefill caps is SKIPPED (shorter prompts behind
+        # it may still admit); capacity failures still stop admission (FCFS).
+        idx = 0
+        while (idx < len(self.waiting) and budget > 0
+               and len(self.running) < self.config.max_num_seqs):
+            req = self.waiting[idx]
             # Prefix-cache lookup on first computation only.
             hits: List[int] = []
             if req.num_computed_tokens == 0 and not req.block_ids:
@@ -183,6 +225,11 @@ class Scheduler:
                     req.num_cached_blocks = len(hits)
             remaining = req.num_prompt_tokens - req.num_computed_tokens
             chunk = min(remaining, budget) if self.config.enable_chunked_prefill else remaining
+            chunk = cap_chunk(remaining, chunk)
+            if not partial_prefill_ok(remaining, chunk):
+                self._rollback_admission(req, hits)
+                idx += 1
+                continue
             if chunk > budget:
                 # whole-prompt admission doesn't fit this step
                 self._rollback_admission(req, hits)
@@ -190,7 +237,7 @@ class Scheduler:
             if self._allocate_with_preemption(req, chunk, protected) is None:
                 self._rollback_admission(req, hits)
                 break
-            self.waiting.pop(0)
+            self.waiting.pop(idx)
             req.status = RequestStatus.RUNNING
             self.running.append(req)
             item = ScheduledRequest(req, chunk, req.num_computed_tokens)
@@ -198,6 +245,7 @@ class Scheduler:
             scheduled.append(item)
             protected.add(req.req_id)
             budget -= chunk
+            note_partial(remaining, chunk)
 
         # Preempted-in-phase-1 requests rejoin the waiting queue head.
         for req in preempted_now:
