@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
-_CHUNK_TOKENS = 256
+_CHUNK_TOKENS = 512
 
 
 def _concat(parts):

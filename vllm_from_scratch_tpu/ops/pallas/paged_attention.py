@@ -44,11 +44,11 @@ _NEG_INF = -1e30
 # Target tokens per grid step; pages per step P = ceil(target / block_size).
 # On TPU prefer large cache pages (block_size 128-256) so P == 1 and no
 # in-kernel concatenation is needed at all.
-_CHUNK_TOKENS = 256
+_CHUNK_TOKENS = 512
 
 
-def _concat(parts):
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+def _concat(parts, axis=0):
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
 
 
 def _kernel_body(Hkv: int, G: int, block_size: int, P: int, sm_scale: float,
@@ -81,44 +81,47 @@ def _kernel_body(Hkv: int, G: int, block_size: int, P: int, sm_scale: float,
             # chunk-local token c*S_c + j.
             row_pos = qs + jax.lax.broadcasted_iota(jnp.int32, (R, S_c), 0) // G
             kv_pos = c * S_c + jax.lax.broadcasted_iota(jnp.int32, (R, S_c), 1)
-            mask = (kv_pos <= row_pos) & (kv_pos < ctx)
+            mask = ((kv_pos <= row_pos) & (kv_pos < ctx))[None]    # [1, R, S_c]
 
-            def dequant(ref, s_ref, h):
-                # Row-fold the per-token scale into the float rows: avoids
-                # any lane-vector (1D) scale math, which Mosaic can't concat.
-                x = ref[0, :, h, :].astype(jnp.float32)            # [bs, D]
+            def dequant_t(ref, s_ref):
+                # [bs, Hkv, D] page -> head-major [Hkv, bs, D], scale
+                # row-folded in (avoids lane-vector scale math).
+                x = ref[0].astype(jnp.float32)                     # [bs, Hkv, D]
                 if quantized:
-                    x = x * s_ref[0, :, h:h + 1]                   # [bs, 1]
-                return x
+                    x = x * s_ref[0][:, :, None]                   # [bs, Hkv, 1]
+                return jnp.swapaxes(x, 0, 1)                       # [Hkv, bs, D]
 
-            for h in range(Hkv):  # static unroll over kv heads
-                qh = q_ref[0, h]                                   # [R, D]
-                kh = _concat([dequant(k_refs[i], ks_refs[i], h) for i in range(P)])
-                s = jax.lax.dot_general(
-                    qh, kh, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                                  # [R, S_c]
-                s = s * sm_scale
-                s = jnp.where(mask, s, _NEG_INF)
+            kh = _concat(
+                [dequant_t(k_refs[i], ks_refs[i]) for i in range(P)], axis=1
+            )                                                      # [Hkv, S_c, D]
+            q = q_ref[0]                                           # [Hkv, R, D]
+            # One batched matmul over all kv heads (Mosaic lowers the batch
+            # dim natively — measurably faster than a per-head unroll).
+            s = jax.lax.dot_general(
+                q, kh, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale                                           # [Hkv, R, S_c]
+            s = jnp.where(mask, s, _NEG_INF)
 
-                m_prev = m_ref[h]                                  # [R, 1]
-                m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-                alpha = jnp.exp(m_prev - m_new)
-                p = jnp.where(mask, jnp.exp(s - m_new), 0.0)       # [R, S_c]
-                m_ref[h] = m_new
-                l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_prev = m_ref[...]                                    # [Hkv, R, 1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.where(mask, jnp.exp(s - m_new), 0.0)           # [Hkv, R, S_c]
+            m_ref[...] = m_new
+            l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=2, keepdims=True)
 
-                vh = _concat([dequant(v_refs[i], vs_refs[i], h) for i in range(P)])
-                pv = jax.lax.dot_general(
-                    p, vh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                                  # [R, D]
-                acc_ref[h] = acc_ref[h] * alpha + pv
+            vh = _concat(
+                [dequant_t(v_refs[i], vs_refs[i]) for i in range(P)], axis=1
+            )
+            pv = jax.lax.dot_general(
+                p, vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                                      # [Hkv, R, D]
+            acc_ref[...] = acc_ref[...] * alpha + pv
 
         @pl.when(c == pl.num_programs(1) - 1)
         def _finish():
-            for h in range(Hkv):
-                o_ref[0, h] = acc_ref[h] / jnp.maximum(l_ref[h], 1e-30)
+            o_ref[0] = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
 
     return kern
 
