@@ -188,3 +188,69 @@ class TestContextParallel:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(self._oracle(q, k, v)), atol=1e-5
         )
+
+
+class TestEPAllToAll:
+    """Token-sharded EP with all_to_all dispatch == the dense MoE layer."""
+
+    def _setup(self, E=8, K=2, T=64, D=32, F=64):
+        from vllm_from_scratch_tpu.core.config import ModelConfig
+        from vllm_from_scratch_tpu.models.moe import init_moe_params
+
+        cfg = ModelConfig(num_experts=E, top_k=K, hidden_size=D,
+                          intermediate_size=F)
+        p = init_moe_params(jax.random.PRNGKey(0), D, F, E)
+        x = jax.random.normal(jax.random.PRNGKey(1), (T, D), jnp.float32)
+        return cfg, p, x
+
+    def _mesh(self):
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(jax.devices()[:8]).reshape(1, 8), ("dp", "tp"))
+
+    def test_exact_matches_dense(self):
+        from vllm_from_scratch_tpu.models.moe import moe_ffn
+        from vllm_from_scratch_tpu.parallel.ep import ep_moe_ffn_a2a
+
+        cfg, p, x = self._setup()
+        ref, _ = moe_ffn(x, p["gate"], p["w_gate"], p["w_up"], p["w_down"],
+                         top_k=cfg.top_k)
+        out = ep_moe_ffn_a2a(x, p, cfg, self._mesh())  # exact capacity
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_capacity_drop_still_runs(self):
+        from vllm_from_scratch_tpu.parallel.ep import ep_moe_ffn_a2a
+
+        cfg, p, x = self._setup()
+        out = ep_moe_ffn_a2a(x, p, cfg, self._mesh(), capacity_factor=1.0)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_int8_expert_weights(self):
+        from vllm_from_scratch_tpu.models.layers import quantize_linear
+        from vllm_from_scratch_tpu.models.moe import moe_ffn
+        from vllm_from_scratch_tpu.parallel.ep import ep_moe_ffn_a2a
+
+        cfg, p, x = self._setup()
+        ref, _ = moe_ffn(x, p["gate"], p["w_gate"], p["w_up"], p["w_down"],
+                         top_k=cfg.top_k)
+        pq = dict(p)
+        for k in ("w_gate", "w_up", "w_down"):
+            pq[k] = quantize_linear(p[k])
+        out = ep_moe_ffn_a2a(x, pq, cfg, self._mesh())
+        err = float(np.max(np.abs(np.asarray(out) - np.asarray(ref))))
+        scale = float(np.max(np.abs(np.asarray(ref)))) + 1e-9
+        assert err / scale < 0.1
+
+    @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+    def test_engine_a2a_matches_single_device(self):
+        """Full flagship engine with ep_dispatch='a2a' reproduces the
+        single-device greedy outputs."""
+        from tests.test_parallel import flagship_cfg  # self-import safe
+
+        single = LLMEngine(flagship_cfg())
+        out1 = single.generate(PROMPTS, GREEDY)
+        a2a = LLMEngine(flagship_cfg(ParallelConfig(
+            dp_size=2, tp_size=4, ep_dispatch="a2a")))
+        out2 = a2a.generate(PROMPTS, GREEDY)
+        assert list(out1.values()) == list(out2.values())

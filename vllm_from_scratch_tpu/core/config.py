@@ -102,6 +102,10 @@ class ParallelConfig:
     ep_size: int = 1
     pp_size: int = 1  # reserved: pool keys carry pp_rank from day 1 (BLOG_PART2B_V2.md:1259)
     sp_size: int = 1
+    # Expert-parallel dispatch: "psum" = replicated activations + psum (low
+    # latency, small batches); "a2a" = token-sharded all_to_all dispatch
+    # (bandwidth-optimal, the NCCL All2All pattern, BLOG_PART3_V2.md:262-287).
+    ep_dispatch: str = "psum"
 
     @property
     def world_size(self) -> int:

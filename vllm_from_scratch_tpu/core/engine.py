@@ -81,10 +81,12 @@ class LLMEngine:
         )
 
         mesh = self.mesh
+        ep_dispatch = config.parallel.ep_dispatch
 
         def _step(params, cache, batch: ModelBatch, sstate, skey):
             logits, cache = transformer.forward(
-                params, cache, batch, mcfg, block_size=ccfg.block_size, mesh=mesh
+                params, cache, batch, mcfg, block_size=ccfg.block_size, mesh=mesh,
+                ep_dispatch=ep_dispatch,
             )
             tokens = sample(logits, sstate, skey)
             return tokens, cache
@@ -111,7 +113,8 @@ class LLMEngine:
                     q_lens=jnp.ones_like(pos),
                 )
                 logits, cache = transformer.forward(
-                    params, cache, b, mcfg, block_size=ccfg.block_size, mesh=mesh
+                    params, cache, b, mcfg, block_size=ccfg.block_size, mesh=mesh,
+                    ep_dispatch=ep_dispatch,
                 )
                 tok2 = sample(logits, sstate, jax.random.fold_in(skey, k))
                 return (cache, tok2, pos + 1), tok2
@@ -183,7 +186,7 @@ class LLMEngine:
                 )
                 all_logits, ct = transformer.forward(
                     pt, ct, b, mcfg, block_size=ccfg.block_size, mesh=mesh,
-                    return_all_logits=True,
+                    ep_dispatch=ep_dispatch, return_all_logits=True,
                 )                                          # [B, K+1, V]
                 target_probs = filtered_probs(all_logits, sstate)
                 out, n_acc = rejection_sample(

@@ -146,6 +146,7 @@ def forward(
     *,
     block_size: int,
     mesh=None,
+    ep_dispatch: str = "psum",
     return_all_logits: bool = False,
 ) -> tuple[jax.Array, KVCache]:
     """Run the model; returns (last-position logits [B, V], updated cache).
@@ -171,9 +172,12 @@ def forward(
             m = layer["moe"]
             xf = xn.reshape(-1, xn.shape[-1])
             if mesh is not None and mesh.shape.get("tp", 1) > 1:
-                from ..parallel.ep import ep_moe_ffn
+                from ..parallel.ep import ep_moe_ffn, ep_moe_ffn_a2a
 
-                f = ep_moe_ffn(xf, m, cfg, mesh)
+                if ep_dispatch == "a2a":
+                    f = ep_moe_ffn_a2a(xf, m, cfg, mesh)
+                else:
+                    f = ep_moe_ffn(xf, m, cfg, mesh)
                 if "shared" in m:  # dense shared expert stays under GSPMD
                     wg, wu, wd = m["shared"]
                     f = f + mm(jax.nn.silu(mm(xf, wg)) * mm(xf, wu), wd)

@@ -71,3 +71,121 @@ def ep_moe_ffn(
         check_vma=False,
     )
     return fn(x, moe_params["gate"], wg, wu, wd)
+
+
+def ep_moe_ffn_a2a(
+    x: jax.Array,          # [T, D] tokens, sharded over "tp" rows
+    moe_params: dict,
+    cfg: ModelConfig,
+    mesh: Mesh,
+    *,
+    capacity_factor: float = 0.0,  # 0 => exact (C = T_local*K, no drops)
+) -> jax.Array:
+    """Token-sharded EP with all_to_all dispatch (the bandwidth-optimal form).
+
+    The psum variant above replicates activations over "tp" and reduces
+    outputs; here tokens stay sharded: each rank routes its own T/n tokens,
+    sends each (token, expert) assignment to the expert's owner rank via
+    ``all_to_all``, computes its local experts' grouped GEMM over what it
+    received, and a second ``all_to_all`` returns results to the senders —
+    the NCCL All2All pattern the reference documents (BLOG_PART3_V2.md:
+    262-287), compiled onto ICI.
+
+    Capacity: each (src, dst) rank pair carries at most C assignments.
+    C = T_local*K (capacity_factor=0) is exact — no token ever drops; a
+    positive factor sets C = ceil(T_local*K/n * factor) (standard
+    capacity-factor semantics: overflow assignments are dropped, their
+    routing weight lost).  Returns [T, D] sharded like x; the shared expert
+    and aux loss are the caller's (same contract as ep_moe_ffn).
+    """
+    import jax.numpy as jnp
+
+    from ..models.layers import dequantize_linear
+    from ..models.moe import grouped_expert_ffn, route
+
+    n = mesh.shape["tp"]
+    E = cfg.num_experts
+    E_local = E // n
+    assert E_local * n == E, "num_experts must divide tp_size"
+    K = cfg.top_k
+
+    wg, wu, wd = moe_params["w_gate"], moe_params["w_up"], moe_params["w_down"]
+
+    # Token rows must divide the tp axis; pad with zero rows (they route
+    # somewhere and compute garbage for themselves only — sliced off below).
+    T0 = x.shape[0]
+    pad = (-T0) % n
+    if pad:
+        import jax.numpy as _jnp
+
+        x = _jnp.pad(x, ((0, pad), (0, 0)))
+
+    def local_fn(xs, gate, wg, wu, wd):
+        T_l, D = xs.shape
+        M = T_l * K
+        C = M if capacity_factor <= 0 else max(1, -int(-M * capacity_factor) // n)
+
+        r = route(xs @ gate, K, cfg.num_groups, cfg.topk_group)
+        flat_ids = r.ids.reshape(M)            # global expert ids
+        flat_w = r.weights.reshape(M)
+        token_idx = jnp.arange(M, dtype=jnp.int32) // K
+        dest = flat_ids // E_local             # owner rank per assignment
+        local_eid = flat_ids % E_local
+
+        # Position of each assignment within its destination's send slots.
+        onehot = (dest[:, None] == jnp.arange(n)[None, :]).astype(jnp.int32)
+        pos = jnp.take_along_axis(
+            jnp.cumsum(onehot, axis=0) - 1, dest[:, None], axis=1
+        )[:, 0]                                # [M]
+        keep = pos < C
+
+        send_x = jnp.zeros((n, C, D), xs.dtype)
+        send_eid = jnp.full((n, C), E_local, jnp.int32)   # E_local = pad/invalid
+        # Dropped assignments scatter out of bounds and are discarded by
+        # mode="drop" (NOT clipped — a clip would corrupt slot C-1).
+        p_k = jnp.where(keep, pos, C)
+        send_x = send_x.at[dest, p_k].set(xs[token_idx], mode="drop")
+        send_eid = send_eid.at[dest, p_k].set(local_eid, mode="drop")
+
+        # Exchange: recv[j] = what rank j sent to me.
+        recv_x = jax.lax.all_to_all(send_x, "tp", split_axis=0, concat_axis=0, tiled=True)
+        recv_eid = jax.lax.all_to_all(send_eid, "tp", split_axis=0, concat_axis=0, tiled=True)
+
+        # Local experts' grouped GEMM over everything received.
+        rx = recv_x.reshape(n * C, D)
+        re = recv_eid.reshape(n * C)
+        order = jnp.argsort(re)
+        group_sizes = jnp.bincount(re[order], length=E_local)
+        wg_f = dequantize_linear(wg, xs.dtype)
+        wu_f = dequantize_linear(wu, xs.dtype)
+        wd_f = dequantize_linear(wd, xs.dtype)
+        y = grouped_expert_ffn(rx[order].astype(wg_f.dtype), group_sizes,
+                               wg_f, wu_f, wd_f)
+        y_unsorted = jnp.zeros_like(y).at[order].set(y)
+        y_back = y_unsorted.reshape(n, C, D)
+
+        # Return trip: back[j] = my sent rows' results, at send positions.
+        back = jax.lax.all_to_all(y_back, "tp", split_axis=0, concat_axis=0, tiled=True)
+
+        # Dropped rows gather slot 0 but with zero weight.
+        contrib = back[dest, jnp.where(keep, pos, 0)] * jnp.where(keep, flat_w, 0.0)[:, None]
+        out = jnp.zeros((T_l, D), jnp.float32).at[token_idx].add(
+            contrib.astype(jnp.float32)
+        )
+        return out.astype(xs.dtype)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("tp", None),             # tokens SHARDED over tp
+            P(),
+            _expert_spec(wg),
+            _expert_spec(wu),
+            _expert_spec(wd),
+        ),
+        out_specs=P("tp", None),
+        check_vma=False,
+    )
+    out = fn(x, moe_params["gate"], wg, wu, wd)
+    return out[:T0] if pad else out
