@@ -254,3 +254,78 @@ class TestEPAllToAll:
             dp_size=2, tp_size=4, ep_dispatch="a2a")))
         out2 = a2a.generate(PROMPTS, GREEDY)
         assert list(out1.values()) == list(out2.values())
+
+
+class TestPipelineParallel:
+    """PP (SURVEY.md §2c): stage-sharded layers + microbatched ppermute flow
+    reproduce the single-device forward exactly (logits AND cache)."""
+
+    def _setup(self, family="mha", L=4, B=4, T=8):
+        from vllm_from_scratch_tpu.models import transformer
+        from vllm_from_scratch_tpu.models.transformer import ModelBatch
+
+        kw = dict(vocab_size=64, hidden_size=32, num_layers=L, num_heads=2,
+                  num_kv_heads=2, max_position=128, intermediate_size=32)
+        if family == "mla":
+            kw.update(kv_lora_rank=8, qk_rope_head_dim=4, qk_nope_head_dim=8,
+                      v_head_dim=8)
+        cfg = ModelConfig(**kw)
+        params = transformer.init_params(jax.random.PRNGKey(0), cfg)
+        cache = transformer.init_cache(cfg, 16, 16, "int8")
+        rng = np.random.RandomState(0)
+        batch = ModelBatch(
+            tokens=jnp.asarray(rng.randint(1, 63, (B, T)), jnp.int32),
+            positions=jnp.tile(jnp.arange(T, dtype=jnp.int32), (B, 1)),
+            slots=jnp.asarray(
+                np.arange(B * T).reshape(B, T) + 16, jnp.int32),  # skip null blk
+            block_tables=jnp.asarray(
+                np.arange(1, 1 + B * 2).reshape(B, 2), jnp.int32),
+            ctx_lens=jnp.full((B,), T, jnp.int32),
+            q_lens=jnp.full((B,), T, jnp.int32),
+        )
+        return cfg, params, cache, batch
+
+    def _mesh(self, n=4):
+        from jax.sharding import Mesh
+
+        return Mesh(np.asarray(jax.devices()[:n]).reshape(n), ("pp",))
+
+    @pytest.mark.parametrize("family", ["mha", "mla"])
+    def test_matches_single_device(self, family):
+        from vllm_from_scratch_tpu.models import transformer
+        from vllm_from_scratch_tpu.parallel.pp import pipeline_forward
+
+        cfg, params, cache, batch = self._setup(family)
+        ref_logits, ref_cache = transformer.forward(
+            params, cache, batch, cfg, block_size=16)
+        pp_logits, pp_cache = pipeline_forward(
+            params, cache, batch, cfg, self._mesh(), block_size=16)
+        np.testing.assert_allclose(
+            np.asarray(pp_logits), np.asarray(ref_logits), atol=1e-5, rtol=1e-5)
+        # Null block (slots 0..15) is a garbage sink by design — bubble-tick
+        # writes land there, like pad-token writes in normal operation.
+        for a, b in zip(jax.tree.leaves(ref_cache), jax.tree.leaves(pp_cache)):
+            np.testing.assert_allclose(
+                np.asarray(a)[:, 16:], np.asarray(b)[:, 16:], atol=1e-6)
+
+    def test_single_microbatch(self):
+        from vllm_from_scratch_tpu.models import transformer
+        from vllm_from_scratch_tpu.parallel.pp import pipeline_forward
+
+        cfg, params, cache, batch = self._setup()
+        ref_logits, _ = transformer.forward(params, cache, batch, cfg, block_size=16)
+        pp_logits, _ = pipeline_forward(
+            params, cache, batch, cfg, self._mesh(), block_size=16,
+            num_microbatches=1)
+        np.testing.assert_allclose(
+            np.asarray(pp_logits), np.asarray(ref_logits), atol=1e-5, rtol=1e-5)
+
+    def test_jit_under_mesh(self):
+        from vllm_from_scratch_tpu.parallel.pp import pipeline_forward
+
+        cfg, params, cache, batch = self._setup()
+        mesh = self._mesh()
+        f = jax.jit(lambda p, c, b: pipeline_forward(
+            p, c, b, cfg, mesh, block_size=16))
+        logits, _ = f(params, cache, batch)
+        assert np.all(np.isfinite(np.asarray(logits)))

@@ -156,7 +156,29 @@ def forward(
     everything else parallelizes declaratively via GSPMD shardings."""
     B, T = batch.tokens.shape
     x = params["embed"][batch.tokens]  # [B, T, H]
-    rope = params["rope"]
+    layer_step = make_layer_step(
+        batch, cfg, params["rope"], block_size=block_size, mesh=mesh,
+        ep_dispatch=ep_dispatch,
+    )
+
+    x, new_cache = jax.lax.scan(layer_step, x, (params["layers"], cache))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+    if return_all_logits:
+        # Per-position logits (speculative-decode verify path).
+        return mm(x, params["lm_head"]).astype(jnp.float32), new_cache
+
+    # Gather each request's last valid position (q_len-1; pad rows read 0).
+    last = jnp.maximum(batch.q_lens - 1, 0)  # [B]
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]  # [B, H]
+    logits = mm(x_last, params["lm_head"]).astype(jnp.float32)
+    return logits, new_cache
+
+
+def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
+                    block_size: int, mesh=None, ep_dispatch: str = "psum"):
+    """The per-layer scan body, reusable by forward() and the pipeline-
+    parallel runner (parallel/pp.py) which scans each stage's layer slice."""
 
     def layer_step(h, xs):
         layer, cache_l = xs
@@ -195,18 +217,7 @@ def forward(
             h = h + swiglu(xn, layer["w_gate"], layer["w_up"], layer["w_down"])
         return h, cache_l
 
-    x, new_cache = jax.lax.scan(layer_step, x, (params["layers"], cache))
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-
-    if return_all_logits:
-        # Per-position logits (speculative-decode verify path).
-        return mm(x, params["lm_head"]).astype(jnp.float32), new_cache
-
-    # Gather each request's last valid position (q_len-1; pad rows read 0).
-    last = jnp.maximum(batch.q_lens - 1, 0)  # [B]
-    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]  # [B, H]
-    logits = mm(x_last, params["lm_head"]).astype(jnp.float32)
-    return logits, new_cache
+    return layer_step
 
 
 def _attn(layer, cache_l, h, batch, cfg, rope, block_size):

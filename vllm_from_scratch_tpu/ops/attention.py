@@ -142,14 +142,14 @@ def paged_attention(
     offs = jnp.arange(block_size, dtype=block_tables.dtype)
     slot_idx = (block_tables[:, :, None] * block_size + offs).reshape(B, S)
 
-    k = jnp.take(cache.k, slot_idx, axis=0)          # [B, S, Hkv, D]
-    v = jnp.take(cache.v, slot_idx, axis=0)
+    k = jnp.take(cache.k, slot_idx, axis=0, mode="clip")          # [B, S, Hkv, D]
+    v = jnp.take(cache.v, slot_idx, axis=0, mode="clip")
     qf = q.astype(jnp.float32).reshape(B, Tq, Hkv, G, D)
 
     # scores: [B, Hkv, G, Tq, S]; K dequant folded in after the matmul.
     scores = jnp.einsum("btkgd,bskd->bkgts", qf, k.astype(jnp.float32))
     if cache.quantized:
-        ks = jnp.take(cache.k_scale, slot_idx, axis=0)    # [B, S, Hkv]
+        ks = jnp.take(cache.k_scale, slot_idx, axis=0, mode="clip")    # [B, S, Hkv]
         scores = scores * ks.transpose(0, 2, 1)[:, :, None, None, :]
     scores = scores * sm_scale
 
@@ -167,7 +167,7 @@ def paged_attention(
 
     # V dequant folded into the probabilities.
     if cache.quantized:
-        vs = jnp.take(cache.v_scale, slot_idx, axis=0)    # [B, S, Hkv]
+        vs = jnp.take(cache.v_scale, slot_idx, axis=0, mode="clip")    # [B, S, Hkv]
         p = p * vs.transpose(0, 2, 1)[:, :, None, None, :]
     out = jnp.einsum("bkgts,bskd->btkgd", p, v.astype(jnp.float32))
     return out.reshape(B, Tq, Hq, D)

@@ -131,16 +131,16 @@ def mla_paged_attention(
     offs = jnp.arange(block_size, dtype=block_tables.dtype)
     slot_idx = (block_tables[:, :, None] * block_size + offs).reshape(B, S)
 
-    c = jnp.take(cache.c, slot_idx, axis=0).astype(jnp.float32)    # [B, S, r]
-    kr = jnp.take(cache.kr, slot_idx, axis=0).astype(jnp.float32)  # [B, S, dr]
+    c = jnp.take(cache.c, slot_idx, axis=0, mode="clip").astype(jnp.float32)    # [B, S, r]
+    kr = jnp.take(cache.kr, slot_idx, axis=0, mode="clip").astype(jnp.float32)  # [B, S, dr]
 
     # Absorb W_UK into the query: scores live in rank-r space.
     q_l = jnp.einsum("bthd,hdr->bthr", q_nope.astype(jnp.float32), w_uk.astype(jnp.float32))
     scores_c = jnp.einsum("bthr,bsr->bhts", q_l, c)
     scores_r = jnp.einsum("bthd,bsd->bhts", q_rope.astype(jnp.float32), kr)
     if cache.quantized:
-        cs = jnp.take(cache.c_scale, slot_idx, axis=0)   # [B, S]
-        ks = jnp.take(cache.kr_scale, slot_idx, axis=0)
+        cs = jnp.take(cache.c_scale, slot_idx, axis=0, mode="clip")   # [B, S]
+        ks = jnp.take(cache.kr_scale, slot_idx, axis=0, mode="clip")
         scores_c = scores_c * cs[:, None, None, :]
         scores_r = scores_r * ks[:, None, None, :]
     scores = (scores_c + scores_r) * sm_scale

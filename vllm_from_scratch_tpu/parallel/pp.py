@@ -1,0 +1,132 @@
+"""Pipeline parallelism: stage-sharded layers + microbatched activation flow.
+
+The reference documents PP only as "unsupported by Mooncake connectors"
+(pp_rank reserved in PoolKey, BLOG_PART2B_V2.md:1259) — SURVEY.md §2c's plan
+is layer-sharded stages.  TPU-natively this is a shard_map program over a
+"pp" mesh axis:
+
+- Every stage (rank) holds L/pp contiguous layers' weights AND their slice
+  of the layer-stacked KV cache (in_specs P("pp") on the leading layer
+  axis) — weight and KV memory both scale 1/pp per device.
+- The batch splits into M microbatches; activations flow stage-to-stage via
+  ``ppermute`` in a (M + pp - 1)-tick schedule (the classic pipeline with
+  its bubble; XLA overlaps the ppermute with the next tick's compute).
+- Invalid (bubble) ticks still execute SPMD-uniformly; their KV writes are
+  routed to the pinned null block (slots=0) so they can't corrupt real
+  cache rows, and their outputs are masked out.
+- Embedding / final norm / lm_head are replicated and run outside the
+  shard_map (they're tiny next to the layer stack).
+
+Exactness contract: logits and the updated cache match the single-device
+``transformer.forward`` bit-for-bit at fp32 (tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.config import ModelConfig
+from ..models import transformer
+from ..models.layers import mm, rms_norm
+from ..models.transformer import ModelBatch
+
+
+def pipeline_forward(
+    params: dict,
+    cache,
+    batch: ModelBatch,
+    cfg: ModelConfig,
+    mesh: Mesh,
+    *,
+    block_size: int,
+    axis: str = "pp",
+    num_microbatches: Optional[int] = None,
+) -> Tuple[jax.Array, object]:
+    """Pipelined model step; returns (last-position logits [B, V], cache)."""
+    B, T = batch.tokens.shape
+    n = mesh.shape[axis]
+    L = cfg.num_layers
+    assert L % n == 0, "num_layers must divide pp size"
+    M = num_microbatches or min(B, n)
+    assert B % M == 0, "batch must divide microbatches"
+    Bm = B // M
+
+    rope = params["rope"]
+    h0 = params["embed"][batch.tokens]                      # [B, T, H]
+    h0 = h0.reshape(M, Bm, T, h0.shape[-1])
+
+    def split(a):
+        return a.reshape(M, Bm, *a.shape[1:])
+
+    mb = ModelBatch(*[split(a) for a in batch])             # leading [M, Bm]
+
+    def local(stage_layers, stage_cache, h0_all, mb):
+        r = jax.lax.axis_index(axis)
+        recv = jnp.zeros_like(h0_all[0])
+        outputs = jnp.zeros_like(h0_all)
+
+        for t in range(M + n - 1):
+            m = t - r                                       # my microbatch
+            valid = (m >= 0) & (m < M)
+            mc = jnp.clip(m, 0, M - 1)
+
+            # Bubble ticks write KV to the null block and attend nothing.
+            bmb = ModelBatch(
+                tokens=mb.tokens[mc],
+                positions=mb.positions[mc],
+                slots=jnp.where(valid, mb.slots[mc], 0),
+                block_tables=mb.block_tables[mc],
+                ctx_lens=jnp.where(valid, mb.ctx_lens[mc], 0),
+                q_lens=jnp.where(valid, mb.q_lens[mc], 0),
+            )
+            h_in = jnp.where(r == 0, h0_all[mc], recv)
+            step = transformer.make_layer_step(
+                bmb, cfg, rope, block_size=block_size
+            )
+            h_out, new_cache = jax.lax.scan(step, h_in, (stage_layers, stage_cache))
+            # Bubble ticks must not mutate real cache rows; slots=0 already
+            # routes writes to the null block, so the update is safe to keep.
+            stage_cache = new_cache
+
+            # Zero bubble outputs: they are only ever consumed by other
+            # bubble ticks, and left unmasked their magnitude compounds
+            # (SwiGLU is quadratic in |x|) to inf within ~15 ticks.
+            h_out = jnp.where(valid, h_out, jnp.zeros_like(h_out))
+
+            # Last stage banks the finished microbatch.
+            outputs = jnp.where(
+                valid & (r == n - 1),
+                outputs.at[mc].set(h_out),
+                outputs,
+            )
+            if t < M + n - 2:
+                recv = jax.lax.ppermute(
+                    h_out, axis, [(i, i + 1) for i in range(n - 1)]
+                )
+
+        # Broadcast the last stage's outputs to every rank (zeros elsewhere).
+        outputs = jax.lax.psum(
+            jnp.where(r == n - 1, outputs, jnp.zeros_like(outputs)), axis
+        )
+        return outputs, stage_cache
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(axis)),
+        check_vma=False,
+    )
+    outputs, new_cache = fn(params["layers"], cache, h0, mb)
+
+    x = outputs.reshape(B, T, -1)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    last = jnp.maximum(batch.q_lens - 1, 0)
+    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    logits = mm(x_last, params["lm_head"]).astype(jnp.float32)
+    return logits, new_cache
