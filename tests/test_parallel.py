@@ -329,3 +329,19 @@ class TestPipelineParallel:
             p, c, b, cfg, mesh, block_size=16))
         logits, _ = f(params, cache, batch)
         assert np.all(np.isfinite(np.asarray(logits)))
+
+    @pytest.mark.skipif(jax.device_count() < 4, reason="needs 4 devices")
+    def test_engine_pp4_matches_single_device(self):
+        """Full engine with pp_size=4: stage-sharded serving reproduces the
+        single-device greedy outputs."""
+        import dataclasses
+
+        def cfg(parallel=ParallelConfig()):
+            c = mha_cfg(parallel)
+            return c.replace(model=dataclasses.replace(c.model, num_layers=4))
+
+        single = LLMEngine(cfg())
+        out1 = single.generate(PROMPTS, GREEDY)
+        pp = LLMEngine(cfg(ParallelConfig(pp_size=4)))
+        out2 = pp.generate(PROMPTS, GREEDY)
+        assert list(out1.values()) == list(out2.values())

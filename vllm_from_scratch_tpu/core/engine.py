@@ -82,12 +82,22 @@ class LLMEngine:
 
         mesh = self.mesh
         ep_dispatch = config.parallel.ep_dispatch
+        use_pp = mesh is not None and "pp" in mesh.shape
 
-        def _step(params, cache, batch: ModelBatch, sstate, skey):
-            logits, cache = transformer.forward(
+        def _fwd(params, cache, batch):
+            if use_pp:
+                from ..parallel.pp import pipeline_forward
+
+                return pipeline_forward(
+                    params, cache, batch, mcfg, mesh, block_size=ccfg.block_size
+                )
+            return transformer.forward(
                 params, cache, batch, mcfg, block_size=ccfg.block_size, mesh=mesh,
                 ep_dispatch=ep_dispatch,
             )
+
+        def _step(params, cache, batch: ModelBatch, sstate, skey):
+            logits, cache = _fwd(params, cache, batch)
             tokens = sample(logits, sstate, skey)
             return tokens, cache
 
@@ -112,10 +122,7 @@ class LLMEngine:
                     ctx_lens=pos + 1,
                     q_lens=jnp.ones_like(pos),
                 )
-                logits, cache = transformer.forward(
-                    params, cache, b, mcfg, block_size=ccfg.block_size, mesh=mesh,
-                    ep_dispatch=ep_dispatch,
-                )
+                logits, cache = _fwd(params, cache, b)
                 tok2 = sample(logits, sstate, jax.random.fold_in(skey, k))
                 return (cache, tok2, pos + 1), tok2
 

@@ -39,6 +39,15 @@ from ..core.config import ModelConfig, ParallelConfig
 
 def make_mesh(parallel: ParallelConfig, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
+    if parallel.pp_size > 1:
+        # Pipeline stages: a 1-D "pp" mesh (parallel/pp.py); PP currently
+        # composes with neither GSPMD TP nor DP rows (single-axis schedule).
+        assert parallel.dp_size == 1 and parallel.tp_size == 1, (
+            "pp_size > 1 requires dp_size == tp_size == 1"
+        )
+        n = parallel.pp_size
+        assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+        return Mesh(np.asarray(devices[:n]).reshape(n), ("pp",))
     n = parallel.dp_size * parallel.tp_size
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
     dev = np.asarray(devices[:n]).reshape(parallel.dp_size, parallel.tp_size)
@@ -129,9 +138,27 @@ def batch_shardings(mesh: Mesh):
     )
 
 
+def pp_param_shardings(params: dict, mesh: Mesh) -> dict:
+    """Pipeline-stage layout: every layer-stacked array shards its leading
+    [L] axis over "pp"; everything else (embed/lm_head/norms/rope) is
+    replicated."""
+    rep = _ns(mesh)
+    stage = _ns(mesh, "pp")
+    return {
+        k: (jax.tree.map(lambda _: stage, v) if k == "layers" else
+            jax.tree.map(lambda _: rep, v))
+        for k, v in params.items()
+    }
+
+
 def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
+    if "pp" in mesh.shape:
+        return jax.device_put(params, pp_param_shardings(params, mesh))
     return jax.device_put(params, param_shardings(cfg, mesh))
 
 
 def shard_cache(cache, cfg: ModelConfig, mesh: Mesh):
+    if "pp" in mesh.shape:
+        stage = _ns(mesh, "pp")
+        return jax.device_put(cache, jax.tree.map(lambda _: stage, cache))
     return jax.device_put(cache, cache_shardings(cfg, mesh))
