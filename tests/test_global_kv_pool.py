@@ -395,3 +395,45 @@ class TestPoolKeyLayout:
         k1 = PoolKey(b"h", "m", tp_rank=0, pp_rank=0)
         k2 = PoolKey(b"h", "m", tp_rank=0, pp_rank=1)
         assert k1 != k2 and hash(k1) != hash(k2)
+
+
+class TestDeviceCopyBackend:
+    """Real KV movement: TransferEngine with the DeviceCopyBackend device_puts
+    page pytrees onto the destination node's device (the on-TPU analogue of
+    the RDMA data plane; the latency model stays for behavior tests)."""
+
+    @pytest.fixture
+    def engine(self):
+        import jax
+
+        from vllm_from_scratch_tpu.distributed.transfer import (
+            DeviceCopyBackend, TransferEngine,
+        )
+
+        devs = jax.devices()
+        if len(devs) < 2:
+            pytest.skip("needs 2 devices")
+        backend = DeviceCopyBackend({0: devs[0], 1: devs[1]})
+        return TransferEngine(node_id=1, backend=backend)
+
+    def test_pages_land_on_target_device(self, engine):
+        import jax
+        import jax.numpy as jnp
+
+        pages = {
+            "k": jnp.arange(16 * 4 * 8, dtype=jnp.int8).reshape(16, 4, 8),
+            "scale": jnp.ones((16,), jnp.float32),
+        }
+        tid = engine.submit_transfer(0, [b"h1", b"h2"], payload=pages)
+        res = engine.wait(tid, timeout=10.0)
+        assert res is not None and res.success
+        assert res.bytes_transferred == sum(
+            x.nbytes for x in jax.tree.leaves(pages)
+        )
+        target = jax.devices()[1]
+        for leaf in jax.tree.leaves(res.data):
+            assert target in leaf.sharding.device_set
+        import numpy as np
+
+        np.testing.assert_array_equal(
+            np.asarray(res.data["k"]), np.asarray(pages["k"]))

@@ -242,3 +242,65 @@ class TestMoEEngine:
             [[5, 4, 3]], SamplingParams(max_new_tokens=4, temperature=0.0, ignore_eos=True)
         )
         assert len(out[0]) == 4
+
+
+class TestEPLB:
+    """Expert-parallel load balancing (BLOG_PART3_V2.md:185-187): rebalanced
+    placement is a pure layout change and reduces the hottest rank's load."""
+
+    def test_balance_reduces_max_rank_load(self):
+        import numpy as np
+
+        from vllm_from_scratch_tpu.parallel.eplb import balance, max_rank_load
+
+        loads = np.array([100, 90, 5, 3, 80, 2, 1, 1])  # hot experts clustered
+        perm = balance(loads, num_ranks=4)
+        assert sorted(perm.tolist()) == list(range(8))
+        contiguous = max_rank_load(loads, np.arange(8), 4)   # [100,90],[5,3]...
+        balanced = max_rank_load(loads, perm, 4)
+        assert balanced < contiguous
+        assert balanced <= 110  # LPT pairs ~100+small, 90+small
+
+    def test_permuted_weights_plus_map_is_identity(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vllm_from_scratch_tpu.models.moe import init_moe_params, moe_ffn
+        from vllm_from_scratch_tpu.parallel.eplb import (
+            apply_permutation, balance, count_expert_load,
+        )
+
+        E, D, F, T, K = 8, 16, 32, 64, 2
+        p = init_moe_params(jax.random.PRNGKey(0), D, F, E)
+        x = jax.random.normal(jax.random.PRNGKey(1), (T, D), jnp.float32)
+        ref, _ = moe_ffn(x, p["gate"], p["w_gate"], p["w_up"], p["w_down"], top_k=K)
+
+        from vllm_from_scratch_tpu.models.moe import route
+
+        loads = count_expert_load(np.asarray(route(x @ p["gate"], K).ids), E)
+        perm = balance(loads, num_ranks=4)
+        p2, emap = apply_permutation(p, perm)
+        out, _ = moe_ffn(x, p["gate"], p2["w_gate"], p2["w_up"], p2["w_down"],
+                         top_k=K, expert_map=emap)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6, rtol=1e-6)
+
+    def test_layer_stacked_and_quantized_stacks(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vllm_from_scratch_tpu.models.layers import quantize_linear
+        from vllm_from_scratch_tpu.parallel.eplb import apply_permutation
+
+        L, E, D, F = 3, 8, 4, 8
+        w = jax.random.normal(jax.random.PRNGKey(0), (L, E, D, F))
+        p = {"w_gate": w, "w_up": w, "w_down": quantize_linear(w)}
+        perm = np.array([7, 6, 5, 4, 3, 2, 1, 0])
+        p2, emap = apply_permutation(p, perm)
+        np.testing.assert_array_equal(np.asarray(p2["w_gate"][:, 0]),
+                                      np.asarray(w[:, 7]))
+        assert int(emap[7]) == 0
+        np.testing.assert_array_equal(np.asarray(p2["w_down"].q[:, 0]),
+                                      np.asarray(quantize_linear(w).q[:, 7]))

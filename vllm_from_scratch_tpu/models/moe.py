@@ -121,6 +121,7 @@ def moe_ffn(
     expert_mask: Optional[jax.Array] = None,  # [E] bool — EP local-expert slice
     expert_offset=None,       # int/traced — first global expert id held locally
     num_global_experts: Optional[int] = None,  # E_global when weights are a local slice
+    expert_map: Optional[jax.Array] = None,    # [E] logical->physical slot (EPLB)
 ) -> Tuple[jax.Array, jax.Array]:
     """Full MoE layer: route -> sort -> grouped GEMM -> weighted scatter-add.
 
@@ -140,6 +141,10 @@ def moe_ffn(
     K = r.ids.shape[1]
     flat_ids = r.ids.reshape(T * K)
     flat_w = r.weights.reshape(T * K)
+    if expert_map is not None:
+        # EPLB (parallel/eplb.py): router ids are logical; weights are laid
+        # out in load-balanced physical slots.
+        flat_ids = expert_map[flat_ids]
     if expert_offset is not None:
         # Shift global ids into the local slice; park non-local assignments at
         # id E_local (sorted last) with zero weight — group_sizes only counts
