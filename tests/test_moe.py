@@ -304,3 +304,72 @@ class TestEPLB:
         assert int(emap[7]) == 0
         np.testing.assert_array_equal(np.asarray(p2["w_down"].q[:, 0]),
                                       np.asarray(quantize_linear(w).q[:, 7]))
+
+
+class TestFusedMoEKernel:
+    """Pallas fused expert kernel (interpret mode) == the ragged_dot path,
+    float and int8, skewed/empty expert groups."""
+
+    def _data(self, E=8, D=32, F=64, M=50):
+        import jax
+        import jax.numpy as jnp
+
+        from vllm_from_scratch_tpu.models.moe import init_moe_params
+
+        p = init_moe_params(jax.random.PRNGKey(0), D, F, E)
+        x = jax.random.normal(jax.random.PRNGKey(1), (M, D), jnp.float32)
+        gs = jnp.asarray([7, 0, 13, 5, 0, 11, 9, 5], jnp.int32)
+        return p, x, gs
+
+    def test_float_matches_ragged(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vllm_from_scratch_tpu.models.moe import grouped_expert_ffn
+        from vllm_from_scratch_tpu.ops.pallas.moe_gemm import fused_moe_pallas
+
+        p, x, gs = self._data()
+        ref = grouped_expert_ffn(x, gs, p["w_gate"], p["w_up"], p["w_down"])
+        out = fused_moe_pallas(x, gs, p["w_gate"], p["w_up"], p["w_down"],
+                               tile_m=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_int8_matches_dequant_ragged(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vllm_from_scratch_tpu.models.layers import (
+            dequantize_linear, quantize_linear,
+        )
+        from vllm_from_scratch_tpu.models.moe import grouped_expert_ffn
+        from vllm_from_scratch_tpu.ops.pallas.moe_gemm import fused_moe_pallas
+
+        p, x, gs = self._data()
+        q = {k: quantize_linear(p[k]) for k in ("w_gate", "w_up", "w_down")}
+        ref = grouped_expert_ffn(
+            x, gs,
+            dequantize_linear(q["w_gate"], jnp.float32),
+            dequantize_linear(q["w_up"], jnp.float32),
+            dequantize_linear(q["w_down"], jnp.float32),
+        )
+        out = fused_moe_pallas(x, gs, q["w_gate"], q["w_up"], q["w_down"],
+                               tile_m=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_moe_align_positions(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vllm_from_scratch_tpu.ops.pallas.moe_gemm import moe_align
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (10, 4))
+        gs = jnp.asarray([3, 0, 7], jnp.int32)
+        x_pad, pos, tile_expert = moe_align(x, gs, tile_m=4)
+        np.testing.assert_array_equal(np.asarray(pos),
+                                      [0, 1, 2, 4, 5, 6, 7, 8, 9, 10])
+        np.testing.assert_array_equal(np.asarray(x_pad)[np.asarray(pos)],
+                                      np.asarray(x))
+        # tiles: expert0 pads to 4 (tile 0), expert2 pads to 8 (tiles 1-2)
+        assert tile_expert[0] == 0 and tile_expert[1] == 2 and tile_expert[2] == 2

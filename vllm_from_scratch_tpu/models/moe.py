@@ -92,6 +92,26 @@ def route(gate_logits: jax.Array, top_k: int, num_groups: int = 1,
 
 # ---------------------------------------------------------------- expert GEMM
 
+def expert_ffn(x_sorted, group_sizes, w_gate, w_up, w_down):
+    """Dispatch the per-expert SwiGLU GEMMs.
+
+    INT8 expert weights on TPU take the Pallas fused kernel
+    (ops/pallas/moe_gemm.py — dequant stays in the matmul epilogue, 1.15x
+    over dequantize+ragged_dot on v5e); float weights (and CPU) use XLA's
+    ragged_dot, which is at parity for bf16."""
+    from ..models.layers import QuantizedLinear
+    from ..ops.pallas import use_pallas
+
+    if isinstance(w_gate, QuantizedLinear) and use_pallas():
+        from ..ops.pallas.moe_gemm import fused_moe_pallas
+
+        return fused_moe_pallas(x_sorted, group_sizes, w_gate, w_up, w_down)
+    wg = dequantize_linear(w_gate, x_sorted.dtype)
+    wu = dequantize_linear(w_up, x_sorted.dtype)
+    wd = dequantize_linear(w_down, x_sorted.dtype)
+    return grouped_expert_ffn(x_sorted.astype(wg.dtype), group_sizes, wg, wu, wd)
+
+
 def grouped_expert_ffn(
     x_sorted: jax.Array,      # [M, D] tokens sorted by expert id
     group_sizes: jax.Array,   # [E] tokens per expert
@@ -164,13 +184,7 @@ def moe_ffn(
     group_sizes = jnp.bincount(sorted_ids, length=E_local)
 
     x_rep = x[token_idx]                               # [M, D] sorted by expert
-    # Weight-only INT8 experts: ragged_dot wants float operands, so the
-    # dequant happens here (per call); XLA fuses convert*scale into the
-    # producer of each expert segment.
-    w_gate = dequantize_linear(w_gate, x.dtype)
-    w_up = dequantize_linear(w_up, x.dtype)
-    w_down = dequantize_linear(w_down, x.dtype)
-    y = grouped_expert_ffn(x_rep.astype(w_gate.dtype), group_sizes, w_gate, w_up, w_down)
+    y = expert_ffn(x_rep, group_sizes, w_gate, w_up, w_down)
     y = y * flat_w[order][:, None].astype(y.dtype)
 
     out = jnp.zeros((T, D), y.dtype).at[token_idx].add(y)

@@ -1,0 +1,182 @@
+"""Pallas fused MoE expert kernel: tile-aligned segment GEMM + SwiGLU.
+
+The kernel equivalent of vLLM's FusedMoE Triton grouped GEMM +
+moe_align_block_size token sort (SURVEY.md §2b; the reference loops over
+experts in Python, 03_moe/mini_moe.py:260-283, and its blog flags the
+grouped GEMM as the real design, BLOG_PART3_V2.md:189-221).
+
+How it works (tokens arrive already sorted by expert id, as in
+models/moe.moe_ffn):
+
+1. ``moe_align``: each expert's segment is padded to a multiple of TILE_M
+   so every tile belongs to exactly ONE expert — the static-shape version
+   of moe_align_block_size (padded length M + E*TILE_M is static; the
+   scatter/gather positions are traced values).
+2. Grid over tiles; the scalar-prefetched ``tile_expert`` map drives the
+   BlockSpec index_maps, so each tile's expert weights (gate, up, down —
+   int8 or float) are DMA'd HBM->VMEM; consecutive tiles of the same
+   expert reuse the resident block (Pallas revisiting).
+3. The whole SwiGLU runs in one kernel per tile:
+   ``y = (silu(x@Wg) * (x@Wu)) @ Wd`` with the per-output-channel INT8
+   scales applied to the f32 accumulators — quantized weights are read
+   once and never materialize as bf16 in HBM (the XLA path must
+   dequantize before lax.ragged_dot).
+
+Exactness: matches the ragged_dot path to f32 tolerance (interpret-mode
+tests); zero rows in tile padding produce zero outputs and are dropped by
+the gather-back.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.layers import QuantizedLinear
+
+
+def moe_align(
+    x_sorted: jax.Array,      # [M, D] sorted by expert id
+    group_sizes: jax.Array,   # [E]
+    tile_m: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pad each expert segment to a TILE_M multiple.
+
+    Returns (x_pad [M_pad, D], pos [M] scatter positions, tile_expert
+    [M_pad // tile_m]).  M_pad = M + E*tile_m is static.
+    """
+    M, D = x_sorted.shape
+    E = group_sizes.shape[0]
+    M_pad = M + E * tile_m
+    num_tiles = M_pad // tile_m
+
+    gs = group_sizes.astype(jnp.int32)
+    starts = jnp.cumsum(gs) - gs                              # [E]
+    padded_sizes = ((gs + tile_m - 1) // tile_m) * tile_m
+    padded_starts = jnp.cumsum(padded_sizes) - padded_sizes   # [E]
+
+    # Row i of the sorted array belongs to expert eid[i]; place it at the
+    # same offset within its expert's padded segment.
+    row = jnp.arange(M, dtype=jnp.int32)
+    eid = jnp.searchsorted(jnp.cumsum(gs), row, side="right").astype(jnp.int32)
+    pos = padded_starts[eid] + (row - starts[eid])            # [M]
+
+    x_pad = jnp.zeros((M_pad, D), x_sorted.dtype).at[pos].set(x_sorted)
+
+    tile_start = jnp.arange(num_tiles, dtype=jnp.int32) * tile_m
+    tile_expert = jnp.clip(
+        jnp.searchsorted(jnp.cumsum(padded_sizes), tile_start, side="right"),
+        0, E - 1,
+    ).astype(jnp.int32)
+    return x_pad, pos, tile_expert
+
+
+def _split(w, E):
+    """(values [E, din, dout], scales [E, 1, dout] or None)."""
+    if isinstance(w, QuantizedLinear):
+        return w.q, w.scale.reshape(E, 1, -1)
+    return w, None
+
+
+def _kernel(quantized: bool, out_dtype):
+    def kern(tile_expert_ref, x_ref, wg_ref, wu_ref, wd_ref,
+             sg_ref, su_ref, sd_ref, o_ref):
+        # Grid (token_tiles, F_blocks): SwiGLU is separable over F columns
+        # and the down-projection sums over F, so each F-block contributes
+        # an independent partial y accumulated into the revisited output.
+        f = pl.program_id(1)
+
+        @pl.when(f == 0)
+        def _init():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        x = x_ref[...]                                        # [TILE_M, D]
+        g = jax.lax.dot_general(
+            x, wg_ref[0].astype(x.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        u = jax.lax.dot_general(
+            x, wu_ref[0].astype(x.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if quantized:
+            g = g * sg_ref[0]
+            u = u * su_ref[0]
+        h = (jax.nn.silu(g) * u).astype(x.dtype)              # [TILE_M, F_blk]
+        y = jax.lax.dot_general(
+            h, wd_ref[0].astype(x.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if quantized:
+            y = y * sd_ref[0]
+        o_ref[...] += y.astype(out_dtype)
+
+    return kern
+
+
+def fused_moe_pallas(
+    x_sorted: jax.Array,      # [M, D] sorted by expert id
+    group_sizes: jax.Array,   # [E]
+    w_gate, w_up, w_down,     # [E, D, F] / [E, F, D], float or QuantizedLinear
+    *,
+    tile_m: int = 128,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused SwiGLU expert GEMMs; returns y_sorted [M, D] float32."""
+    from . import resolve_interpret
+
+    M, D = x_sorted.shape
+    E = group_sizes.shape[0]
+    quantized = isinstance(w_gate, QuantizedLinear)
+
+    wg, sg = _split(w_gate, E)
+    wu, su = _split(w_up, E)
+    wd, sd = _split(w_down, E)
+    F = wg.shape[-1]
+    if sg is None:  # uniform arg list for the kernel
+        ones_f = jnp.ones((E, 1, F), jnp.float32)
+        ones_d = jnp.ones((E, 1, D), jnp.float32)
+        sg, su, sd = ones_f, ones_f, ones_d
+
+    x_pad, pos, tile_expert = moe_align(x_sorted, group_sizes, tile_m)
+    num_tiles = x_pad.shape[0] // tile_m
+
+    # Block the F axis so per-step weight blocks fit VMEM (wg+wu+wd blocks
+    # double-buffered must stay well under the ~16 MB budget).
+    f_blk = F
+    while 2 * (2 * D * f_blk + f_blk * D) * max(
+        1, jnp.dtype(wg.dtype).itemsize
+    ) > 6 * 1024 * 1024 and f_blk % 2 == 0:
+        f_blk //= 2
+    num_f = F // f_blk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles, num_f),
+        in_specs=[
+            pl.BlockSpec((tile_m, D), lambda t, f, te: (t, 0)),
+            pl.BlockSpec((1, D, f_blk), lambda t, f, te: (te[t], 0, f)),
+            pl.BlockSpec((1, D, f_blk), lambda t, f, te: (te[t], 0, f)),
+            pl.BlockSpec((1, f_blk, D), lambda t, f, te: (te[t], f, 0)),
+            pl.BlockSpec((1, 1, f_blk), lambda t, f, te: (te[t], 0, f)),
+            pl.BlockSpec((1, 1, f_blk), lambda t, f, te: (te[t], 0, f)),
+            pl.BlockSpec((1, 1, D), lambda t, f, te: (te[t], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile_m, D), lambda t, f, te: (t, 0)),
+    )
+
+    y_pad = pl.pallas_call(
+        _kernel(quantized, jnp.float32),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((x_pad.shape[0], D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=resolve_interpret(interpret),
+    )(tile_expert, x_pad, wg, wu, wd, sg, su, sd)
+
+    return y_pad[pos]

@@ -100,8 +100,7 @@ def ep_moe_ffn_a2a(
     """
     import jax.numpy as jnp
 
-    from ..models.layers import dequantize_linear
-    from ..models.moe import grouped_expert_ffn, route
+    from ..models.moe import expert_ffn, route
 
     n = mesh.shape["tp"]
     E = cfg.num_experts
@@ -156,11 +155,7 @@ def ep_moe_ffn_a2a(
         re = recv_eid.reshape(n * C)
         order = jnp.argsort(re)
         group_sizes = jnp.bincount(re[order], length=E_local)
-        wg_f = dequantize_linear(wg, xs.dtype)
-        wu_f = dequantize_linear(wu, xs.dtype)
-        wd_f = dequantize_linear(wd, xs.dtype)
-        y = grouped_expert_ffn(rx[order].astype(wg_f.dtype), group_sizes,
-                               wg_f, wu_f, wd_f)
+        y = expert_ffn(rx[order], group_sizes, wg, wu, wd)
         y_unsorted = jnp.zeros_like(y).at[order].set(y)
         y_back = y_unsorted.reshape(n, C, D)
 
