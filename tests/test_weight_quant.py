@@ -134,3 +134,57 @@ class TestMemoryAndParallel:
             "flagship", parallel=ParallelConfig(dp_size=2, tp_size=4)))
         out2 = sharded.generate([[5, 6, 7, 8], [9, 10]], GREEDY)
         assert list(out1.values()) == list(out2.values())
+
+
+class TestInt4:
+    def test_mm_accuracy(self):
+        from vllm_from_scratch_tpu.models.layers import quantize_linear4
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        x = jax.random.normal(k1, (32, 63), jnp.float32)  # odd in_dim
+        w = 0.02 * jax.random.normal(k2, (63, 128), jnp.float32)
+        out = mm(x, quantize_linear4(w))
+        ref = x @ w
+        err = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+        assert err < 0.25, err  # 3-bit mantissa: ~1/7 per-element error
+
+    def test_pack_unpack_exact(self):
+        from vllm_from_scratch_tpu.models.layers import (
+            _unpack4, quantize_linear4,
+        )
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (2, 17, 8))  # stacked+odd
+        q = quantize_linear4(w)
+        vals = _unpack4(q)
+        assert vals.shape == w.shape
+        assert int(jnp.max(vals)) <= 7 and int(jnp.min(vals)) >= -7
+        # round-trip: dequantized == scale * nibble values
+        np.testing.assert_allclose(
+            np.asarray(vals.astype(jnp.float32) * q.scale[..., None, :]),
+            np.asarray(jnp.clip(jnp.round(w / q.scale[..., None, :]), -7, 7)
+                       * q.scale[..., None, :]),
+            rtol=1e-6,
+        )
+
+    @pytest.mark.parametrize("family", ["mha", "flagship"])
+    def test_engine_int4_generates(self, family):
+        from vllm_from_scratch_tpu.core.config import QuantConfig
+
+        cfg = cfg_for(family, weight_quant="int4")
+        eng = LLMEngine(cfg)
+        out = eng.generate([[5, 6, 7, 8], [9, 10]], GREEDY)
+        assert all(len(v) == 6 for v in out.values())
+
+    def test_param_bytes_shrink_vs_int8(self):
+        """Compare only the quantized weight payloads (embed/norms/rope are
+        float either way)."""
+        from vllm_from_scratch_tpu.models.layers import (
+            quantize_linear, quantize_linear4,
+        )
+
+        w = jax.random.normal(jax.random.PRNGKey(0), (256, 512))
+        q8 = quantize_linear(w)
+        q4 = quantize_linear4(w)
+        b8 = q8.q.size * 1 + q8.scale.size * 4
+        b4 = q4.q4.size * 1 + q4.scale.size * 4
+        assert b4 < 0.6 * b8, (b4, b8)

@@ -125,7 +125,8 @@ class SpecConfig:
 
 @dataclass(frozen=True)
 class QuantConfig:
-    """Weight quantization. "none" | "int8" (weight-only, per-output-channel scales)."""
+    """Weight quantization: "none" | "int8" | "int4" (weight-only,
+    per-output-channel scales; int4 packs two nibbles per byte)."""
 
     weight_quant: str = "none"
 

@@ -72,8 +72,11 @@ class LLMEngine:
 
         # Weight-only INT8 (after sharding: quantize ops run under GSPMD, so
         # int8 weights + scales inherit the float weights' layouts).
-        if config.quant.weight_quant == "int8":
-            self.params = transformer.quantize_params(self.params, mcfg)
+        if config.quant.weight_quant in ("int8", "int4"):
+            self.params = transformer.quantize_params(
+                self.params, mcfg,
+                bits=4 if config.quant.weight_quant == "int4" else 8,
+            )
 
         # Widest possible block table row (bucketed down per call).
         self.max_blocks_per_seq = min(
