@@ -437,3 +437,92 @@ class TestDeviceCopyBackend:
 
         np.testing.assert_array_equal(
             np.asarray(res.data["k"]), np.asarray(pages["k"]))
+
+
+class TestLayerwisePipeline:
+    """Layerwise KV send pipelining (BLOG_PART2B_V2.md:1593-1722 pattern):
+    per-layer transfers overlap the remaining layers' compute."""
+
+    def test_overlap_beats_sequential(self):
+        """With per-layer compute ~= per-layer wire time, pipelined total
+        ~= compute + 1 wire hop, vs compute + L wire hops sequentially."""
+        import time as _t
+
+        from vllm_from_scratch_tpu.distributed.transfer import (
+            LayerwiseKVPipeline, TransferEngine,
+        )
+
+        L, wire_s, compute_s = 6, 0.02, 0.02
+
+        class SlowWire:
+            def transfer(self, req):
+                _t.sleep(wire_s)
+                from vllm_from_scratch_tpu.distributed.transfer import (
+                    TransferResult,
+                )
+                return TransferResult(req.transfer_id, True, 100, wire_s)
+
+        eng = TransferEngine(node_id=0, backend=SlowWire(), num_workers=2)
+        pipe = LayerwiseKVPipeline(eng, dst_node_id=1, num_layers=L)
+        t0 = _t.monotonic()
+        for l in range(L):
+            _t.sleep(compute_s)          # "layer compute"
+            pipe.send_layer(l, payload=None, hashes=[l])
+        results = pipe.wait_all()
+        pipelined = _t.monotonic() - t0
+
+        assert all(r and r.success for r in results)
+        sequential = L * (compute_s + wire_s)
+        # pipelined ~= L*compute + ~1 wire; allow generous slack
+        assert pipelined < sequential * 0.85, (pipelined, sequential)
+
+    def test_in_flight_tracking(self):
+        from vllm_from_scratch_tpu.distributed.transfer import (
+            LatencyModelBackend, LayerwiseKVPipeline, TransferEngine,
+        )
+
+        eng = TransferEngine(node_id=0, backend=LatencyModelBackend())
+        pipe = LayerwiseKVPipeline(eng, dst_node_id=5, num_layers=3)
+        for l in range(3):
+            pipe.send_layer(l, payload=None, hashes=[b"a", b"b"])
+        pipe.wait_all()
+        assert pipe.num_in_flight == 0
+
+
+class TestFailureRecovery:
+    """SURVEY §5 failure handling: a dead node's pool entries are dropped
+    (unpublish_node) and requests fall back to recompute — no wedged state."""
+
+    def test_node_death_falls_back_to_recompute(self):
+        cluster = SimulatedCluster(num_prefill_nodes=2, num_decode_nodes=1)
+        prefix = list(range(256))
+        cached0, _ = cluster.simulate_prefill("r1", prefix + [1], 0)
+        assert cached0 == 0  # cold
+
+        # node 0 dies: its published blocks leave the pool
+        dropped = cluster.meta_server.unpublish_node(0)
+        assert dropped > 0
+
+        # same prefix on node 1: pool miss => recompute, then re-publish
+        cached1, ms1 = cluster.simulate_prefill("r2", prefix + [2], 1)
+        assert cached1 == 0
+        cached2, ms2 = cluster.simulate_prefill("r3", prefix + [3], 1)
+        assert cached2 >= 256 - 16  # warm again from node 1's publish
+        assert ms2 < ms1
+
+    def test_transfer_timeout_reports_failure(self):
+        import time as _t
+
+        from vllm_from_scratch_tpu.distributed.transfer import TransferEngine
+
+        class HangingWire:
+            def transfer(self, req):
+                _t.sleep(5.0)
+                from vllm_from_scratch_tpu.distributed.transfer import (
+                    TransferResult,
+                )
+                return TransferResult(req.transfer_id, True, 0, 5.0)
+
+        eng = TransferEngine(node_id=0, backend=HangingWire(), num_workers=1)
+        tid = eng.submit_transfer(1, [b"x"])
+        assert eng.wait(tid, timeout=0.1) is None  # caller sees the timeout

@@ -161,3 +161,55 @@ class TransferEngine:
                 except Exception:
                     pass
             self._queue.task_done()
+
+
+class LayerwiseKVPipeline:
+    """Per-layer KV send/recv pipelining over a TransferEngine.
+
+    Port of the Mooncake/LMCache SendingThread pattern the reference
+    documents inline (BLOG_PART2B_V2.md:1593-1722): instead of shipping a
+    request's whole KV at the end of prefill, each layer's pages are
+    extracted and submitted the moment that layer finishes, so the
+    transfer of layer l overlaps the compute of layers l+1..L — on TPU,
+    extraction is a device slice (jax async dispatch) and the wire is the
+    DCN (DeviceCopyBackend) or the latency-model fake in tests.
+
+    Usage (sender side, inside/next to the serving loop):
+        pipe = LayerwiseKVPipeline(engine, dst_node, num_layers)
+        for l in range(L):
+            ... compute layer l ...
+            pipe.send_layer(l, payload=kv_pages_of_layer_l, hashes=[...])
+        pipe.wait_all()   # returns per-layer TransferResults
+    """
+
+    def __init__(self, engine: "TransferEngine", dst_node_id: int,
+                 num_layers: int):
+        self.engine = engine
+        self.dst = dst_node_id
+        self.num_layers = num_layers
+        self._tids: List[Optional[str]] = [None] * num_layers
+        self._t0: List[float] = [0.0] * num_layers
+
+    def send_layer(self, layer: int, payload, hashes: Sequence[Hashable],
+                   bytes_per_block: int = KV_BLOCK_BYTES) -> str:
+        """Non-blocking: enqueue layer ``layer``'s pages; returns transfer id."""
+        assert self._tids[layer] is None, f"layer {layer} already sent"
+        self._t0[layer] = time.monotonic()
+        tid = self.engine.submit_transfer(
+            self.dst, hashes, payload=payload, bytes_per_block=bytes_per_block
+        )
+        self._tids[layer] = tid
+        return tid
+
+    def wait_all(self, timeout: float = 30.0) -> List[Optional["TransferResult"]]:
+        out: List[Optional[TransferResult]] = []
+        for l, tid in enumerate(self._tids):
+            out.append(self.engine.wait(tid, timeout=timeout) if tid else None)
+        return out
+
+    @property
+    def num_in_flight(self) -> int:
+        return sum(
+            1 for tid in self._tids
+            if tid is not None and not self.engine.is_complete(tid)
+        )
