@@ -28,3 +28,22 @@ Subpackages
 """
 
 __version__ = "0.1.0"
+
+# Public API (lazy: keep `import vllm_from_scratch_tpu` free of jax init).
+__all__ = [
+    "LLMEngine",
+    "EngineConfig", "ModelConfig", "CacheConfig", "SchedulerConfig",
+    "ParallelConfig", "QuantConfig", "SpecConfig", "SamplingParams",
+]
+
+
+def __getattr__(name):
+    if name == "LLMEngine":
+        from .core.engine import LLMEngine
+
+        return LLMEngine
+    if name in __all__:
+        from .core import config as _c
+
+        return getattr(_c, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
