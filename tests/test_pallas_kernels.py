@@ -159,3 +159,90 @@ def test_kv_write_kernel_matches_xla(kv_quant):
     np.testing.assert_allclose(np.asarray(ref.k_scale), np.asarray(ks), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(ref.v_scale), np.asarray(vs), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(kq[0]), np.asarray(cache.k[0]))
+
+
+@pytest.mark.parametrize("kv_quant", ["none", "int8"])
+def test_tiled_prefill_matches_xla(kv_quant):
+    """Query-row tiling (R > tile_r) with causal chunk skipping == XLA path."""
+    Hkv, G, D = 2, 2, 32
+    Hq = Hkv * G
+    seq_lens = [96, 64, 33]
+    key = jax.random.PRNGKey(0)
+    cache, tables, _, _ = build_cache_and_tables(
+        key, seq_lens, Hkv, D, kv_quant, num_blocks=64)
+    B = len(seq_lens)
+    Tq = 96
+    q_lens = [96, 48, 20]
+    q = jax.random.normal(jax.random.PRNGKey(1), (B, Tq, Hq, D), jnp.float32)
+    ctx = jnp.asarray(seq_lens, jnp.int32)
+    ql = jnp.asarray(q_lens, jnp.int32)
+    sm = D ** -0.5
+
+    ref = xla_paged_attention(q, cache, tables, ctx, ql, sm)
+    out = paged_attention_pallas(
+        q, cache.k, cache.v, cache.k_scale, cache.v_scale,
+        tables, ctx, ql, block_size=BS, sm_scale=sm,
+        tile_r=64,  # R = 96*2 = 192 -> 3 tiles
+        interpret=True,
+    )
+    for b in range(B):
+        n = int(q_lens[b])
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :n], np.asarray(ref)[b, :n], atol=2e-5, rtol=1e-4
+        )
+
+
+@pytest.mark.parametrize("kv_quant", ["none", "int8"])
+def test_mla_tiled_prefill_matches_xla(kv_quant):
+    """MLA query-row tiling (R > tile_r) == XLA path."""
+    H, dn, dr, r, dv = 4, 32, 16, 32, 32
+    key = jax.random.PRNGKey(0)
+    seq_lens = [96, 64]
+    B = len(seq_lens)
+    num_blocks = 64
+    cache = mla.init_mla_cache(num_blocks, BS, r, dr, kv_quant=kv_quant)
+    rng = np.random.RandomState(0)
+    avail = list(range(1, num_blocks))
+    rng.shuffle(avail)
+    max_blocks = max(-(-s // BS) for s in seq_lens)
+    tables = np.zeros((B, max_blocks), np.int32)
+    for b, s_len in enumerate(seq_lens):
+        nb = -(-s_len // BS)
+        blocks = [avail.pop() for _ in range(nb)]
+        tables[b, :nb] = blocks
+        ck, kk, key = jax.random.split(key, 3)
+        cache = mla.write_mla_cache(
+            cache,
+            jax.random.normal(ck, (s_len, r), jnp.float32),
+            jax.random.normal(kk, (s_len, dr), jnp.float32),
+            jnp.asarray([blocks[p // BS] * BS + p % BS for p in range(s_len)],
+                        jnp.int32),
+        )
+    Tq, q_lens = 96, [96, 40]
+    qn = jax.random.normal(jax.random.PRNGKey(1), (B, Tq, H, dn), jnp.float32)
+    qr = jax.random.normal(jax.random.PRNGKey(2), (B, Tq, H, dr), jnp.float32)
+    w_uk = jax.random.normal(jax.random.PRNGKey(3), (H, dn, r)) * 0.1
+    w_uv = jax.random.normal(jax.random.PRNGKey(4), (H, r, dv)) * 0.1
+    ctx = jnp.asarray(seq_lens, jnp.int32)
+    ql = jnp.asarray(q_lens, jnp.int32)
+    sm = (dn + dr) ** -0.5
+    tables = jnp.asarray(tables)
+
+    os.environ["VFS_PALLAS"] = "0"
+    try:
+        ref = mla.mla_paged_attention(qn, qr, cache, tables, ctx, ql,
+                                      w_uk, w_uv, block_size=BS, sm_scale=sm)
+    finally:
+        del os.environ["VFS_PALLAS"]
+
+    q_l = jnp.einsum("bthd,hdr->bthr", qn, w_uk)
+    latent = mla_paged_attention_pallas(
+        q_l, qr, cache.c, cache.kr, cache.c_scale, cache.kr_scale,
+        tables, ctx, ql, block_size=BS, sm_scale=sm, tile_r=128,  # R=384 -> 3 tiles
+        interpret=True,
+    )
+    out = jnp.einsum("bthr,hrv->bthv", latent, w_uv)
+    for b in range(B):
+        n = int(q_lens[b])
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :n], np.asarray(ref)[b, :n], atol=2e-5, rtol=1e-4)

@@ -125,11 +125,10 @@ def paged_attention(
 
     from . import pallas as _pk
 
-    # Pallas wins for decode / small chunks on long contexts; large prefill
-    # chunks (R = Tq*G rows) would need R*D-sized VMEM accumulators, and the
-    # XLA gather path is already compute-dense there.
-    if (Tq * G <= 256
-            and _pk.use_pallas(padded_ctx=block_tables.shape[1] * block_size)):
+    # Pallas wins on long contexts (decode: flash page streaming; prefill:
+    # query-row tiling bounds VMEM and skips causally-dead chunks).  Short
+    # contexts stay on the XLA gather path (measured crossover).
+    if _pk.use_pallas(padded_ctx=block_tables.shape[1] * block_size):
         return _pk.paged_attention_pallas(
             q, cache.k, cache.v, cache.k_scale, cache.v_scale,
             block_tables, ctx_lens, q_lens,

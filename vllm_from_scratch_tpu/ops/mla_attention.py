@@ -112,10 +112,9 @@ def mla_paged_attention(
 
     from . import pallas as _pk
 
-    # Decode/small-chunk path only (R = Tq*H VMEM accumulators; see
-    # ops/attention.py dispatch note).
-    if (Tq * H <= 256
-            and _pk.use_pallas(padded_ctx=block_tables.shape[1] * block_size)):
+    # Long contexts take the kernel (query-row tiling bounds prefill VMEM);
+    # short contexts stay on the XLA gather path (measured crossover).
+    if _pk.use_pallas(padded_ctx=block_tables.shape[1] * block_size):
         q_l = jnp.einsum(
             "bthd,hdr->bthr", q_nope.astype(jnp.float32), w_uk.astype(jnp.float32)
         )

@@ -47,10 +47,11 @@ def _kernel_body(H: int, block_size: int, P: int, sm_scale: float, quantized: bo
         kr_refs = refs[P:2 * P]             # each [1, bs, dr]
         cs_refs = refs[2 * P:3 * P]         # each [1, bs, 1]
         krs_refs = refs[3 * P:4 * P]
-        o_ref = refs[4 * P]                 # [1, R, r]
+        o_ref = refs[4 * P]                 # [1, TILE_R, r]
         acc_ref, m_ref, l_ref = refs[4 * P + 1:]
         b = pl.program_id(0)
-        ci = pl.program_id(1)
+        qt = pl.program_id(1)               # query-row tile
+        ci = pl.program_id(2)
         R = ql_ref.shape[1]
 
         @pl.when(ci == 0)
@@ -61,8 +62,10 @@ def _kernel_body(H: int, block_size: int, P: int, sm_scale: float, quantized: bo
 
         ctx = ctx_ref[b]
         qs = qstart_ref[b]
+        row0 = qt * R
+        tile_last_pos = qs + (row0 + R - 1) // H
 
-        @pl.when(ci * S_c < ctx)
+        @pl.when((ci * S_c < ctx) & (ci * S_c <= tile_last_pos))
         def _chunk():
             def dequant(ref, s_ref):
                 # Row-fold the per-token scale into the float rows (both the
@@ -84,7 +87,9 @@ def _kernel_body(H: int, block_size: int, P: int, sm_scale: float, quantized: bo
             )
             s = (s + sr) * sm_scale
 
-            row_pos = qs + jax.lax.broadcasted_iota(jnp.int32, (R, S_c), 0) // H
+            row_pos = qs + (
+                row0 + jax.lax.broadcasted_iota(jnp.int32, (R, S_c), 0)
+            ) // H
             kv_pos = ci * S_c + jax.lax.broadcasted_iota(jnp.int32, (R, S_c), 1)
             mask = (kv_pos <= row_pos) & (kv_pos < ctx)
             s = jnp.where(mask, s, _NEG_INF)
@@ -102,7 +107,7 @@ def _kernel_body(H: int, block_size: int, P: int, sm_scale: float, quantized: bo
             )                                    # [R, r]
             acc_ref[...] = acc_ref[...] * alpha + pv
 
-        @pl.when(ci == pl.num_programs(1) - 1)
+        @pl.when(ci == pl.num_programs(2) - 1)
         def _finish():
             o_ref[0] = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
 
@@ -123,9 +128,13 @@ def mla_paged_attention_pallas(
     block_size: int,
     sm_scale: float,
     pages_per_step: Optional[int] = None,
+    tile_r: int = 256,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Latent flash paged attention; returns latents [B, Tq, H, r] float32."""
+    """Latent flash paged attention; returns latents [B, Tq, H, r] float32.
+
+    Query rows beyond ``tile_r`` tile over a third grid dim with causal
+    chunk skipping (bounded VMEM for big prefill chunks)."""
     from . import resolve_interpret
 
     B, Tq, H, r = q_l.shape
@@ -148,6 +157,12 @@ def mla_paged_attention_pallas(
 
     ql2 = q_l.astype(jnp.float32).reshape(B, R, r)
     qr2 = q_r.astype(jnp.float32).reshape(B, R, dr)
+    TILE_R = min(R, tile_r)
+    R_pad = -(-R // TILE_R) * TILE_R
+    if R_pad != R:
+        ql2 = jnp.pad(ql2, ((0, 0), (0, R_pad - R), (0, 0)))
+        qr2 = jnp.pad(qr2, ((0, 0), (0, R_pad - R), (0, 0)))
+    QT = R_pad // TILE_R
     c_pages = c_cache.reshape(nb, bs, r)
     kr_pages = kr_cache.reshape(nb, bs, dr)
     # [nb, bs, 1] column layout so scales row-fold into [bs, width] pages;
@@ -157,7 +172,7 @@ def mla_paged_attention_pallas(
     krs_pages = kr_scale.reshape(nb, bs, 1)
 
     def page_map(i):
-        return lambda b, c, tbl, ctx, qs: (tbl[b, c * P + i], 0, 0)
+        return lambda b, t, c, tbl, ctx, qs: (tbl[b, c * P + i], 0, 0)
 
     c_spec = lambda i: pl.BlockSpec((1, bs, r), page_map(i))
     kr_spec = lambda i: pl.BlockSpec((1, bs, dr), page_map(i))
@@ -165,35 +180,35 @@ def mla_paged_attention_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, C),
+        grid=(B, QT, C),
         in_specs=(
             [
-                pl.BlockSpec((1, R, r), lambda b, c, *_: (b, 0, 0)),
-                pl.BlockSpec((1, R, dr), lambda b, c, *_: (b, 0, 0)),
+                pl.BlockSpec((1, TILE_R, r), lambda b, t, c, *_: (b, t, 0)),
+                pl.BlockSpec((1, TILE_R, dr), lambda b, t, c, *_: (b, t, 0)),
             ]
             + [c_spec(i) for i in range(P)]
             + [kr_spec(i) for i in range(P)]
             + [sc_spec(i) for i in range(P)]
             + [sc_spec(i) for i in range(P)]
         ),
-        out_specs=pl.BlockSpec((1, R, r), lambda b, c, *_: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, TILE_R, r), lambda b, t, c, *_: (b, t, 0)),
         scratch_shapes=[
-            pltpu.VMEM((R, r), jnp.float32),
-            pltpu.VMEM((R, 1), jnp.float32),
-            pltpu.VMEM((R, 1), jnp.float32),
+            pltpu.VMEM((TILE_R, r), jnp.float32),
+            pltpu.VMEM((TILE_R, 1), jnp.float32),
+            pltpu.VMEM((TILE_R, 1), jnp.float32),
         ],
     )
 
     out = pl.pallas_call(
         _kernel_body(H, bs, P, sm_scale, quantized),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, R, r), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, R_pad, r), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=resolve_interpret(interpret),
     )(block_tables.astype(jnp.int32), ctx_lens.astype(jnp.int32), q_start,
       ql2, qr2, *([c_pages] * P), *([kr_pages] * P), *([cs_pages] * P),
       *([krs_pages] * P))
 
-    return out.reshape(B, Tq, H, r)
+    return out[:, :R].reshape(B, Tq, H, r)

@@ -60,11 +60,12 @@ def _kernel_body(Hkv: int, G: int, block_size: int, P: int, sm_scale: float,
         v_refs = refs[P:2 * P]
         ks_refs = refs[2 * P:3 * P]        # each [1, bs, Hkv]
         vs_refs = refs[3 * P:4 * P]
-        o_ref = refs[4 * P]                # [1, Hkv, R, D]
+        o_ref = refs[4 * P]                # [1, Hkv, TILE_R, D]
         acc_ref, m_ref, l_ref = refs[4 * P + 1:]
         b = pl.program_id(0)
-        c = pl.program_id(1)
-        R = q_ref.shape[2]
+        qt = pl.program_id(1)              # query-row tile (prefill tiling)
+        c = pl.program_id(2)
+        R = q_ref.shape[2]                 # rows in this tile
 
         @pl.when(c == 0)
         def _init():
@@ -74,12 +75,18 @@ def _kernel_body(Hkv: int, G: int, block_size: int, P: int, sm_scale: float,
 
         ctx = ctx_ref[b]
         qs = qstart_ref[b]
+        row0 = qt * R                      # first global query row of the tile
+        # Causal skip: this chunk is needed only if its first kv position is
+        # not beyond the tile's LAST query token.
+        tile_last_pos = qs + (row0 + R - 1) // G
 
-        @pl.when(c * S_c < ctx)
+        @pl.when((c * S_c < ctx) & (c * S_c <= tile_last_pos))
         def _chunk():
-            # Global positions: query row i is token qs + i//G; kv col j is
-            # chunk-local token c*S_c + j.
-            row_pos = qs + jax.lax.broadcasted_iota(jnp.int32, (R, S_c), 0) // G
+            # Global positions: query row i is token qs + (row0+i)//G; kv
+            # col j is chunk-local token c*S_c + j.
+            row_pos = qs + (
+                row0 + jax.lax.broadcasted_iota(jnp.int32, (R, S_c), 0)
+            ) // G
             kv_pos = c * S_c + jax.lax.broadcasted_iota(jnp.int32, (R, S_c), 1)
             mask = ((kv_pos <= row_pos) & (kv_pos < ctx))[None]    # [1, R, S_c]
 
@@ -119,7 +126,7 @@ def _kernel_body(Hkv: int, G: int, block_size: int, P: int, sm_scale: float,
             )                                                      # [Hkv, R, D]
             acc_ref[...] = acc_ref[...] * alpha + pv
 
-        @pl.when(c == pl.num_programs(1) - 1)
+        @pl.when(c == pl.num_programs(2) - 1)
         def _finish():
             o_ref[0] = acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
 
@@ -139,9 +146,14 @@ def paged_attention_pallas(
     block_size: int,
     sm_scale: float,
     pages_per_step: Optional[int] = None,
+    tile_r: int = 256,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Flash paged attention; returns [B, Tq, Hq, D] float32."""
+    """Flash paged attention; returns [B, Tq, Hq, D] float32.
+
+    Query rows (R = Tq*G) beyond ``tile_r`` are tiled over a third grid
+    dimension with causal chunk skipping, so big prefill chunks run with
+    bounded VMEM (O(tile_r * D) accumulators) instead of falling back."""
     from . import resolve_interpret
 
     B, Tq, Hq, D = q.shape
@@ -170,51 +182,58 @@ def paged_attention_pallas(
         .transpose(0, 2, 1, 3, 4)
         .reshape(B, Hkv, R, D)
     )
+    TILE_R = min(R, tile_r)
+    R_pad = -(-R // TILE_R) * TILE_R
+    if R_pad != R:  # pad rows; garbage outputs are sliced off below
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, R_pad - R), (0, 0)))
+    QT = R_pad // TILE_R
     k_pages = k_cache.reshape(nb, bs, Hkv, D)
     v_pages = v_cache.reshape(nb, bs, Hkv, D)
     ks_pages = k_scale.reshape(nb, bs, Hkv)
     vs_pages = v_scale.reshape(nb, bs, Hkv)
 
     def page_map(i):
-        return lambda b, c, tbl, ctx, qs: (tbl[b, c * P + i], 0, 0, 0)
+        return lambda b, t, c, tbl, ctx, qs: (tbl[b, c * P + i], 0, 0, 0)
 
     def scale_map(i):
-        return lambda b, c, tbl, ctx, qs: (tbl[b, c * P + i], 0, 0)
+        return lambda b, t, c, tbl, ctx, qs: (tbl[b, c * P + i], 0, 0)
 
     page_spec = lambda i: pl.BlockSpec((1, bs, Hkv, D), page_map(i))
     sc_spec = lambda i: pl.BlockSpec((1, bs, Hkv), scale_map(i))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, C),
+        grid=(B, QT, C),
         in_specs=(
-            [pl.BlockSpec((1, Hkv, R, D), lambda b, c, *_: (b, 0, 0, 0))]
+            [pl.BlockSpec((1, Hkv, TILE_R, D), lambda b, t, c, *_: (b, 0, t, 0))]
             + [page_spec(i) for i in range(P)]
             + [page_spec(i) for i in range(P)]
             + [sc_spec(i) for i in range(P)]
             + [sc_spec(i) for i in range(P)]
         ),
-        out_specs=pl.BlockSpec((1, Hkv, R, D), lambda b, c, *_: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, Hkv, TILE_R, D), lambda b, t, c, *_: (b, 0, t, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Hkv, R, D), jnp.float32),
-            pltpu.VMEM((Hkv, R, 1), jnp.float32),
-            pltpu.VMEM((Hkv, R, 1), jnp.float32),
+            pltpu.VMEM((Hkv, TILE_R, D), jnp.float32),
+            pltpu.VMEM((Hkv, TILE_R, 1), jnp.float32),
+            pltpu.VMEM((Hkv, TILE_R, 1), jnp.float32),
         ],
     )
 
     out = pl.pallas_call(
         _kernel_body(Hkv, G, bs, P, sm_scale, quantized),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, R, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, R_pad, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=resolve_interpret(interpret),
     )(block_tables.astype(jnp.int32), ctx_lens.astype(jnp.int32), q_start,
       qt, *([k_pages] * P), *([v_pages] * P), *([ks_pages] * P),
       *([vs_pages] * P))
 
-    # [B, Hkv, Tq*G, D] -> [B, Tq, Hq, D]
+    # [B, Hkv, R_pad, D] -> [B, Tq, Hq, D]
     return (
-        out.reshape(B, Hkv, Tq, G, D).transpose(0, 2, 1, 3, 4).reshape(B, Tq, Hq, D)
+        out[:, :, :R]
+        .reshape(B, Hkv, Tq, G, D).transpose(0, 2, 1, 3, 4).reshape(B, Tq, Hq, D)
     )
