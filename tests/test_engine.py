@@ -365,3 +365,56 @@ class TestMultiStepDecode:
         reqs = eng.scheduler.requests
         assert len(reqs[r0].output_token_ids) == 16
         assert len(reqs[r1].output_token_ids) == 16
+
+
+class TestPriorityPolicy:
+    """policy='priority' (blog scheduler BLOG_PART2.md:853-858): lower value
+    = more urgent; admission order honors it and preemption victimizes the
+    least urgent."""
+
+    def _sched(self, **kw):
+        mgr = KVCacheManager(kw.pop("blocks", 256), 16)
+        return Scheduler(
+            SchedulerConfig(max_num_seqs=kw.pop("max_seqs", 4),
+                            max_num_batched_tokens=kw.pop("max_tokens", 32),
+                            policy="priority", **kw),
+            mgr,
+        )
+
+    def _req(self, i, n, priority):
+        import time as _t
+
+        r = Request(req_id=i, prompt_token_ids=list(range(1, n + 1)),
+                    sampling=SamplingParams(max_new_tokens=4, ignore_eos=True),
+                    priority=priority)
+        r.arrival_time = _t.monotonic()
+        return r
+
+    def test_admission_orders_by_priority(self):
+        s = self._sched(max_tokens=16)
+        s.add_request(self._req(0, 16, priority=5))   # arrives first, low prio
+        s.add_request(self._req(1, 16, priority=0))   # urgent
+        out = s.schedule()
+        assert out[0].request.req_id == 1
+
+    def test_preemption_victimizes_lowest_priority(self):
+        """_preempt_one picks the (priority, arrival)-max running request,
+        never a request already scheduled (protected) this step."""
+        s = self._sched(blocks=64, max_tokens=256, max_seqs=4)
+        urgent, lazy = self._req(0, 32, priority=1), self._req(1, 32, priority=5)
+        for r in (urgent, lazy):
+            s.add_request(r)
+        items = s.schedule()
+        s.update(items, [7] * len(items))
+        assert urgent in s.running and lazy in s.running
+
+        ok = s._preempt_one(exclude=None, protected=set())
+        assert ok
+        assert lazy not in s.running and lazy in s.waiting   # victim: prio 5
+        assert urgent in s.running
+        assert s.stats.num_preempted == 1
+        assert lazy.num_computed_tokens == 0                 # recompute mode
+
+        # protected requests are never victimized
+        ok2 = s._preempt_one(exclude=None, protected={urgent.req_id})
+        assert not ok2 and urgent in s.running
