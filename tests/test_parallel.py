@@ -345,3 +345,24 @@ class TestPipelineParallel:
         pp = LLMEngine(cfg(ParallelConfig(pp_size=4)))
         out2 = pp.generate(PROMPTS, GREEDY)
         assert list(out1.values()) == list(out2.values())
+
+
+class TestTPLA:
+    """TPLA-style MLA TP (PAPERS.md): the latent cache shards its rank axis
+    over "tp" (KV bytes/chip / tp); GSPMD inserts the over-r psums.  Pure
+    layout change: greedy outputs bit-match the single-device engine."""
+
+    def test_tpla_tp4_matches_single_device(self):
+        base = LLMEngine(flagship_cfg()).generate(PROMPTS, GREEDY)
+        tpla = LLMEngine(flagship_cfg(
+            ParallelConfig(tp_size=4, mla_kv="tpla"))).generate(PROMPTS, GREEDY)
+        assert base == tpla
+
+    def test_latent_cache_actually_sharded(self):
+        eng = LLMEngine(flagship_cfg(ParallelConfig(tp_size=4, mla_kv="tpla")))
+        c = eng.cache.c  # [L, slots, r]
+        assert c.sharding.shard_shape(c.shape)[2] == c.shape[2] // 4
+        # replicated variant keeps the full rank per device
+        eng2 = LLMEngine(flagship_cfg(ParallelConfig(tp_size=4)))
+        c2 = eng2.cache.c
+        assert c2.sharding.shard_shape(c2.shape)[2] == c2.shape[2]

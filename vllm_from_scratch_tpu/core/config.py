@@ -106,6 +106,11 @@ class ParallelConfig:
     # latency, small batches); "a2a" = token-sharded all_to_all dispatch
     # (bandwidth-optimal, the NCCL All2All pattern, BLOG_PART3_V2.md:262-287).
     ep_dispatch: str = "psum"
+    # MLA latent-cache layout under TP: "replicated" (no comm, r bytes/token
+    # per chip) or "tpla" (TPLA-style: latent rank sharded over "tp", KV
+    # memory / chip divided by tp at the cost of two psums per layer —
+    # PAPERS.md "TPLA: Tensor Parallel Latent Attention").
+    mla_kv: str = "replicated"
 
     @property
     def world_size(self) -> int:

@@ -67,8 +67,10 @@ class LLMEngine:
             from ..parallel import sharding as shd
 
             self.mesh = shd.make_mesh(config.parallel)
-            self.params = shd.shard_params(self.params, mcfg, self.mesh)
-            self.cache = shd.shard_cache(self.cache, mcfg, self.mesh)
+            self.params = shd.shard_params(
+                self.params, mcfg, self.mesh, config.parallel.mla_kv)
+            self.cache = shd.shard_cache(
+                self.cache, mcfg, self.mesh, config.parallel.mla_kv)
 
         # Weight-only INT8 (after sharding: quantize ops run under GSPMD, so
         # int8 weights + scales inherit the float weights' layouts).
@@ -85,6 +87,7 @@ class LLMEngine:
 
         mesh = self.mesh
         ep_dispatch = config.parallel.ep_dispatch
+        mla_kv = config.parallel.mla_kv
         use_pp = mesh is not None and "pp" in mesh.shape
 
         def _fwd(params, cache, batch):
@@ -96,7 +99,7 @@ class LLMEngine:
                 )
             return transformer.forward(
                 params, cache, batch, mcfg, block_size=ccfg.block_size, mesh=mesh,
-                ep_dispatch=ep_dispatch,
+                ep_dispatch=ep_dispatch, mla_kv=mla_kv,
             )
 
         def _step(params, cache, batch: ModelBatch, sstate, skey):

@@ -78,6 +78,7 @@ def mla_attention_block(
     rope_table: jax.Array,
     *,
     block_size: int,
+    allow_pallas: bool = True,
 ) -> Tuple[jax.Array, MLACache]:
     """Pre-norm MLA attention with paged latent KV read/write."""
     B, T, _ = h.shape
@@ -109,6 +110,7 @@ def mla_attention_block(
     out = mla_paged_attention(
         q_nope, q_rope, cache_l, batch.block_tables, batch.ctx_lens, batch.q_lens,
         w_uk, w_uv, block_size=block_size, sm_scale=(dn + dr) ** -0.5,
+        allow_pallas=allow_pallas,
     )
     return mm(out.astype(h.dtype).reshape(B, T, nh * dv), layer["wo"]), cache_l
 

@@ -151,6 +151,7 @@ def forward(
     block_size: int,
     mesh=None,
     ep_dispatch: str = "psum",
+    mla_kv: str = "replicated",
     return_all_logits: bool = False,
 ) -> tuple[jax.Array, KVCache]:
     """Run the model; returns (last-position logits [B, V], updated cache).
@@ -162,7 +163,7 @@ def forward(
     x = params["embed"][batch.tokens]  # [B, T, H]
     layer_step = make_layer_step(
         batch, cfg, params["rope"], block_size=block_size, mesh=mesh,
-        ep_dispatch=ep_dispatch,
+        ep_dispatch=ep_dispatch, mla_kv=mla_kv,
     )
 
     x, new_cache = jax.lax.scan(layer_step, x, (params["layers"], cache))
@@ -180,7 +181,8 @@ def forward(
 
 
 def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
-                    block_size: int, mesh=None, ep_dispatch: str = "psum"):
+                    block_size: int, mesh=None, ep_dispatch: str = "psum",
+                    mla_kv: str = "replicated"):
     """The per-layer scan body, reusable by forward() and the pipeline-
     parallel runner (parallel/pp.py) which scans each stage's layer slice."""
 
@@ -188,7 +190,8 @@ def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
         layer, cache_l = xs
         if cfg.is_mla:
             a, cache_l = mla_mod.mla_attention_block(
-                layer, cache_l, h, batch, cfg, rope, block_size=block_size
+                layer, cache_l, h, batch, cfg, rope, block_size=block_size,
+                allow_pallas=(mla_kv != "tpla"),
             )
         else:
             a, cache_l = _attn(layer, cache_l, h, batch, cfg, rope, block_size)

@@ -104,8 +104,13 @@ def mla_paged_attention(
     *,
     block_size: int,
     sm_scale: float,
+    allow_pallas: bool = True,
 ) -> jax.Array:
-    """Latent-space paged attention.  Returns [B, Tq, H, dv] float32."""
+    """Latent-space paged attention.  Returns [B, Tq, H, dv] float32.
+
+    ``allow_pallas=False`` forces the XLA einsum path — required for
+    TPLA-sharded latents (GSPMD inserts the over-r psums automatically;
+    the Pallas kernel only runs unsharded/replicated)."""
     B, Tq, H, dn = q_nope.shape
     if q_lens is None:
         q_lens = jnp.full((B,), Tq, dtype=jnp.int32)
@@ -114,7 +119,7 @@ def mla_paged_attention(
 
     # Long contexts take the kernel (query-row tiling bounds prefill VMEM);
     # short contexts stay on the XLA gather path (measured crossover).
-    if _pk.use_pallas(padded_ctx=block_tables.shape[1] * block_size):
+    if allow_pallas and _pk.use_pallas(padded_ctx=block_tables.shape[1] * block_size):
         q_l = jnp.einsum(
             "bthd,hdr->bthr", q_nope.astype(jnp.float32), w_uk.astype(jnp.float32)
         )

@@ -58,7 +58,7 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def param_shardings(cfg: ModelConfig, mesh: Mesh) -> dict:
+def param_shardings(cfg: ModelConfig, mesh: Mesh, mla_kv: str = "replicated") -> dict:
     """NamedSharding pytree matching models.transformer.init_params.
 
     Megatron TP layout; every per-layer array keeps its leading [L] axis
@@ -71,9 +71,17 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh) -> dict:
             "q_a": rep,                     # [L, H, qr] small; replicate
             "q_a_norm": rep,
             "q_b": _ns(mesh, None, None, "tp"),   # heads on out dim
-            "kv_a": rep,                    # latents are shared-head
-            "kv_norm": rep,
-            "kv_b": _ns(mesh, None, None, "tp"),  # per-head expansion
+            "kv_a": (
+                _ns(mesh, None, None, "tp") if mla_kv == "tpla" else rep
+            ),                               # TPLA: latent rank r on "tp"
+            "kv_norm": (
+                _ns(mesh, None, "tp") if mla_kv == "tpla" else rep
+            ),
+            "kv_b": (
+                _ns(mesh, None, "tp", None)  # TPLA: contract-over-r -> psum
+                if mla_kv == "tpla"
+                else _ns(mesh, None, None, "tp")  # per-head expansion
+            ),
             "wo": _ns(mesh, None, "tp", None),    # row-parallel -> psum
         }
     else:
@@ -110,13 +118,17 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh) -> dict:
     }
 
 
-def cache_shardings(cfg: ModelConfig, mesh: Mesh):
+def cache_shardings(cfg: ModelConfig, mesh: Mesh, mla_kv: str = "replicated"):
     """Sharding pytree for the layer-stacked KV cache."""
     from ..ops.attention import KVCache
     from ..ops.mla_attention import MLACache
 
     if cfg.is_mla:
         rep = _ns(mesh)
+        if mla_kv == "tpla":
+            # [L, slots, r]: latent rank sharded -> KV bytes/chip / tp.
+            return MLACache(c=_ns(mesh, None, None, "tp"), kr=rep,
+                            c_scale=rep, kr_scale=rep)
         return MLACache(c=rep, kr=rep, c_scale=rep, kr_scale=rep)
     return KVCache(
         k=_ns(mesh, None, None, "tp", None),      # [L, slots, Hkv, D]
@@ -151,14 +163,16 @@ def pp_param_shardings(params: dict, mesh: Mesh) -> dict:
     }
 
 
-def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
+def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh,
+                 mla_kv: str = "replicated") -> dict:
     if "pp" in mesh.shape:
         return jax.device_put(params, pp_param_shardings(params, mesh))
-    return jax.device_put(params, param_shardings(cfg, mesh))
+    return jax.device_put(params, param_shardings(cfg, mesh, mla_kv))
 
 
-def shard_cache(cache, cfg: ModelConfig, mesh: Mesh):
+def shard_cache(cache, cfg: ModelConfig, mesh: Mesh,
+                mla_kv: str = "replicated"):
     if "pp" in mesh.shape:
         stage = _ns(mesh, "pp")
         return jax.device_put(cache, jax.tree.map(lambda _: stage, cache))
-    return jax.device_put(cache, cache_shardings(cfg, mesh))
+    return jax.device_put(cache, cache_shardings(cfg, mesh, mla_kv))
