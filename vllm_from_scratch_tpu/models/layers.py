@@ -99,8 +99,7 @@ def mm(x: jax.Array, w: Weight) -> jax.Array:
 
     INT8 path: the matmul runs on the int8 operand (MXU handles the int8->
     bf16 convert in-flight) and the per-channel scale multiplies the f32
-    accumulator — the dequant never materializes in HBM (ops/quant.py
-    int8_matmul contract)."""
+    accumulator — the dequant never materializes in HBM."""
     if isinstance(w, QuantizedLinear):
         acc = jax.lax.dot_general(
             x.astype(jnp.bfloat16), w.q.astype(jnp.bfloat16),

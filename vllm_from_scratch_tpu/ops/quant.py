@@ -1,4 +1,6 @@
-"""Quantization primitives: INT8 KV-cache and weight-only INT8 matmul.
+"""Quantization primitives for the INT8 KV cache.
+
+(Weight-only INT8/INT4 lives in models/layers.py: QuantizedLinear[4] + mm.)
 
 The reference keeps everything fp32 (no quantization anywhere in-repo); the
 TPU build's north star (BASELINE.json) is INT8 KV pages with scales riding
@@ -41,25 +43,3 @@ def quantize_int8(x: jax.Array, axis) -> tuple[jax.Array, jax.Array]:
 def dequantize_int8(q: jax.Array, scale: jax.Array, axis) -> jax.Array:
     return q.astype(jnp.float32) * jnp.expand_dims(scale, axis)
 
-
-# ---------------------------------------------------------------- weights
-
-def quantize_weight_int8(w: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Weight-only INT8, per-output-channel scales.  w: [in, out]."""
-    return quantize_int8(w, axis=0)
-
-
-def int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array) -> jax.Array:
-    """x @ dequant(wq) with the dequant folded after the matmul.
-
-    x: [..., in] (any float dtype), wq: int8 [in, out], scale: f32 [out].
-    The MXU runs the int8 matmul at full rate; the scale multiply fuses into
-    the epilogue.
-    """
-    acc = jax.lax.dot_general(
-        x.astype(jnp.bfloat16),
-        wq.astype(jnp.bfloat16),
-        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return (acc * scale).astype(x.dtype)
