@@ -86,3 +86,19 @@ def test_safetensors_shape_mismatch_raises(tmp_path):
     )
     with pytest.raises((ValueError, KeyError)):
         import_safetensors(f, bigger)
+
+
+def test_quantized_engine_roundtrip(tmp_path):
+    """Saving an int8-weight engine and restoring rebuilds the
+    QuantizedLinear pytree (structured orbax target) without re-quantizing."""
+    from vllm_from_scratch_tpu.core.config import QuantConfig
+
+    cfg = tiny_config().replace(quant=QuantConfig(weight_quant="int8"))
+    eng = LLMEngine(cfg)
+    eng.save(str(tmp_path / "q"))
+    eng2 = LLMEngine.from_checkpoint(str(tmp_path / "q"))
+    from vllm_from_scratch_tpu.models.layers import QuantizedLinear
+
+    assert isinstance(eng2.params["lm_head"], QuantizedLinear)
+    sp = SamplingParams(max_new_tokens=5, temperature=0.0, ignore_eos=True)
+    assert eng.generate([[5, 6, 7]], sp) == eng2.generate([[5, 6, 7]], sp)

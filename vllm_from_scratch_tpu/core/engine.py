@@ -36,6 +36,24 @@ from .request import Request, RequestStatus
 from .scheduler import ScheduledRequest, Scheduler
 
 
+def _params_quantized(params) -> bool:
+    from ..models.layers import QuantizedLinear, QuantizedLinear4
+
+    found = False
+
+    def probe(x):
+        nonlocal found
+        if isinstance(x, (QuantizedLinear, QuantizedLinear4)):
+            found = True
+        return None
+
+    jax.tree.map(
+        probe, params,
+        is_leaf=lambda x: isinstance(x, (QuantizedLinear, QuantizedLinear4)),
+    )
+    return found
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -72,9 +90,11 @@ class LLMEngine:
             self.cache = shd.shard_cache(
                 self.cache, mcfg, self.mesh, config.parallel.mla_kv)
 
-        # Weight-only INT8 (after sharding: quantize ops run under GSPMD, so
-        # int8 weights + scales inherit the float weights' layouts).
-        if config.quant.weight_quant in ("int8", "int4"):
+        # Weight-only INT8/INT4 (after sharding: quantize ops run under GSPMD,
+        # so int8 weights + scales inherit the float weights' layouts).
+        # Checkpoint-restored params may already be quantized — don't redo.
+        if (config.quant.weight_quant in ("int8", "int4")
+                and not _params_quantized(self.params)):
             self.params = transformer.quantize_params(
                 self.params, mcfg,
                 bits=4 if config.quant.weight_quant == "int4" else 8,
@@ -232,13 +252,32 @@ class LLMEngine:
         """Rebuild an engine from a saved checkpoint.  ``overrides`` replace
         EngineConfig fields (e.g. a different ParallelConfig for restore onto
         a new mesh — shardings are re-applied by the constructor)."""
-        from ..utils.checkpoint import load_checkpoint
+        import json
+        import os
 
-        params, config = load_checkpoint(path)
-        if config is None:
+        from ..utils.checkpoint import config_from_dict, load_checkpoint
+
+        cfg_path = os.path.join(path, "config.json")
+        if not os.path.exists(cfg_path):
             raise FileNotFoundError(f"{path}/config.json not found")
+        with open(cfg_path) as f:
+            config = config_from_dict(json.load(f))
         if overrides:
             config = config.replace(**overrides)
+
+        # Structured restore: orbax needs a target tree to bring back custom
+        # nodes (QuantizedLinear[4]) instead of raw dicts/lists.
+        def build():
+            p = transformer.init_params(jax.random.PRNGKey(0), config.model)
+            if config.quant.weight_quant in ("int8", "int4"):
+                p = transformer.quantize_params(
+                    p, config.model,
+                    bits=4 if config.quant.weight_quant == "int4" else 8,
+                )
+            return p
+
+        target = jax.eval_shape(build)
+        params, _ = load_checkpoint(path, target=target)
         return cls(config, params=params)
 
     # ---- request API ---------------------------------------------------------
