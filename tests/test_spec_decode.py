@@ -153,3 +153,33 @@ class TestSpecEngine:
                             ignore_eos=True)
         out = LLMEngine(spec_engine_cfg()).generate([[1, 2, 3]], sp)[0]
         assert len(out) == 20 and len(set(out)) > 5
+
+
+def test_flagship_target_spec_decode():
+    """Spec decode with an MLA+MoE target and a small MHA draft — the verify
+    forward runs the full flagship stack with return_all_logits."""
+    from vllm_from_scratch_tpu.core.config import (
+        CacheConfig, EngineConfig, ModelConfig, SamplingParams,
+        SchedulerConfig, SpecConfig,
+    )
+    from vllm_from_scratch_tpu.core.engine import LLMEngine
+
+    target = ModelConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                         num_heads=4, num_kv_heads=4, max_position=256,
+                         intermediate_size=64,
+                         kv_lora_rank=16, qk_rope_head_dim=8,
+                         qk_nope_head_dim=16, v_head_dim=16,
+                         num_experts=4, top_k=2)
+    draft = ModelConfig(vocab_size=128, hidden_size=32, num_layers=1,
+                        num_heads=2, num_kv_heads=2, max_position=256,
+                        intermediate_size=32)
+    eng = LLMEngine(EngineConfig(
+        model=target,
+        cache=CacheConfig(block_size=16, num_blocks=64, kv_quant="int8"),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_num_batched_tokens=64),
+        spec=SpecConfig(draft=draft, num_draft_tokens=3),
+    ))
+    sp = SamplingParams(max_new_tokens=10, temperature=0.0, ignore_eos=True)
+    out = eng.generate([[3, 4, 5], [9, 8]], sp)
+    assert all(len(v) == 10 for v in out.values())
+    assert eng.stats().get("spec_drafted", 0) > 0

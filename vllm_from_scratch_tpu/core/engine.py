@@ -163,6 +163,9 @@ class LLMEngine:
         self.draft_params = None
         self.draft_cache = None
         if config.spec is not None:
+            assert not use_pp, (
+                "speculative decoding + pipeline parallelism not supported yet"
+            )
             dcfg = config.spec.draft
             assert dcfg is not None and dcfg.vocab_size == mcfg.vocab_size
             dkey = jax.random.PRNGKey(config.seed + 17)

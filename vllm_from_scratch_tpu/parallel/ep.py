@@ -122,7 +122,7 @@ def ep_moe_ffn_a2a(
     def local_fn(xs, gate, wg, wu, wd):
         T_l, D = xs.shape
         M = T_l * K
-        C = M if capacity_factor <= 0 else max(1, -int(-M * capacity_factor) // n)
+        C = M if capacity_factor <= 0 else max(1, -(-int(M * capacity_factor) // n))
 
         r = route(xs @ gate, K, cfg.num_groups, cfg.topk_group)
         flat_ids = r.ids.reshape(M)            # global expert ids
