@@ -1,0 +1,110 @@
+"""PD disaggregation with REAL KV bytes (distributed/pd.py).
+
+Stronger than the reference's module-06 simulation: the decode engine
+generates from pages a different engine computed and published.  The
+correctness oracle is exact: with shared weights, pulled-prefix generation
+must equal cold local generation token for token.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_from_scratch_tpu.core.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SamplingParams,
+    SchedulerConfig,
+)
+from vllm_from_scratch_tpu.core.engine import LLMEngine
+from vllm_from_scratch_tpu.distributed.connector import KVConnector
+from vllm_from_scratch_tpu.distributed.metadata import GlobalMetadataServer
+from vllm_from_scratch_tpu.distributed.pd import (
+    PageStore,
+    PDWorker,
+    extract_kv_pages,
+    inject_kv_pages,
+)
+from vllm_from_scratch_tpu.distributed.transfer import TransferEngine
+
+GREEDY = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True)
+PROMPT = list(range(1, 49))  # 3 full blocks
+
+
+def make_engine(kv_quant="int8", seed=0):
+    return LLMEngine(EngineConfig(
+        model=ModelConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                          num_heads=4, num_kv_heads=4, max_position=256,
+                          intermediate_size=64),
+        cache=CacheConfig(block_size=16, num_blocks=64, kv_quant=kv_quant),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=128),
+        seed=seed,
+    ))
+
+
+@pytest.fixture
+def cluster():
+    meta = GlobalMetadataServer()
+    store = PageStore()
+    workers = []
+    for node in range(2):
+        eng = make_engine()  # same seed => same weights cluster-wide
+        conn = KVConnector(node, meta, TransferEngine(node), 16)
+        workers.append(PDWorker(eng, conn, store))
+    return workers, meta, store
+
+
+class TestPageMovement:
+    def test_extract_inject_roundtrip(self):
+        a, b = make_engine(), make_engine()
+        # Serve on A so its cache has real content, cached in its prefix pool.
+        a.generate([PROMPT], GREEDY)
+        h = a.kv_mgr.pool  # find a cached block to move
+        from vllm_from_scratch_tpu.core.hashing import compute_block_hashes
+
+        hashes = compute_block_hashes(PROMPT, 16)
+        bid = h.get_cached_block(hashes[0])
+        assert bid is not None
+        pages = extract_kv_pages(a, [bid])
+        ids = b.kv_mgr.pool.get_new_blocks(1)
+        inject_kv_pages(b, ids, pages)
+        got = extract_kv_pages(b, ids)
+        for x, y in zip(jax.tree.leaves(pages), jax.tree.leaves(got)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_pulled_prefix_generates_identically(self, cluster):
+        """The acceptance oracle: decode-from-pulled-KV == decode-from-own-
+        prefill, token for token."""
+        (wa, wb), meta, store = cluster
+        cold = make_engine().generate([PROMPT], GREEDY)  # ground truth
+
+        out_a = wa.generate([PROMPT], GREEDY)            # computes + publishes
+        assert meta.total_blocks > 0 and len(store) > 0
+
+        pulled = wb.pull_prefix(PROMPT)
+        assert pulled >= 32                              # >= 2 of 3 blocks
+        out_b = wb.engine.generate([PROMPT], GREEDY)
+        assert wb.engine.kv_mgr.hit_rate > 0             # prefill skipped
+        assert list(out_b.values()) == list(cold.values())
+        assert list(out_a.values()) == list(cold.values())
+
+    def test_pull_miss_is_noop(self, cluster):
+        (wa, wb), meta, store = cluster
+        assert wb.pull_prefix(list(range(60, 90))) == 0
+
+    def test_publish_then_node_restart_recompute(self, cluster):
+        """Store entry vanishing (node restart) degrades to recompute."""
+        (wa, wb), meta, store = cluster
+        wa.generate([PROMPT], GREEDY)
+        # the store loses its pages (simulated node restart)
+        from vllm_from_scratch_tpu.core.hashing import compute_block_hashes
+
+        for h in compute_block_hashes(PROMPT, 16):
+            store.drop(h)
+        pulled = wb.pull_prefix(PROMPT)
+        assert pulled >= 0  # metadata may match, but no pages -> partial/none
+        out = wb.engine.generate([PROMPT], GREEDY)       # still serves
+        cold = make_engine().generate([PROMPT], GREEDY)
+        assert list(out.values()) == list(cold.values())

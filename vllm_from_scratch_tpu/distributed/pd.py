@@ -1,0 +1,177 @@
+"""PD disaggregation with a REAL data plane: engine-level KV page movement.
+
+The reference's module 06 (and our cluster.py port) simulates prefill/decode
+nodes with sleep-based cost models — KV bytes never move
+(global_kv_pool.py:546-611).  This module goes the rest of the way: actual
+cache pages travel from the prefill engine to the decode engine, and the
+decode engine generates from them.
+
+Pieces:
+- ``extract_kv_pages`` / ``inject_kv_pages`` — gather/scatter whole blocks
+  (all layers, K/V/scales or latents) out of / into a serving engine's
+  layer-stacked cache pytree.
+- ``PageStore``     — per-node published pages (hash -> pytree), the
+  object store mooncake_master fronts; thread-safe.
+- ``PDWorker``      — wraps (engine, connector, store):
+  * ``publish_finished(tokens)``   — after serving, push the request's full
+    blocks into the pool (pages + metadata), the request_finished callback.
+  * ``pull_prefix(tokens)``        — query the pool for the longest prefix,
+    wait for transfers, inject the received pages into freshly allocated
+    local blocks and register them in the LOCAL prefix cache — after which
+    the normal serving path hits them like any local prefix (prefill
+    skipped, decode reads real remote-computed KV).
+
+Correctness contract (tests): a decode engine that pulls a published prefix
+produces EXACTLY the tokens it would have produced computing the prefill
+itself (same weights) — the transferred bytes are the real KV.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, Hashable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.hashing import compute_block_hashes
+from .connector import KVConnector
+
+
+def _block_slots(block_ids: Sequence[int], block_size: int) -> jnp.ndarray:
+    ids = jnp.asarray(list(block_ids), jnp.int32)
+    offs = jnp.arange(block_size, dtype=jnp.int32)
+    return (ids[:, None] * block_size + offs).reshape(-1)
+
+
+def extract_kv_pages(engine, block_ids: Sequence[int]):
+    """Gather the given blocks' rows from every cache leaf.
+
+    Cache leaves are layer-stacked ``[L, num_slots, ...]``; returns the same
+    pytree with ``num_slots`` replaced by ``len(block_ids) * block_size``.
+    """
+    slots = _block_slots(block_ids, engine.block_size)
+    return jax.tree.map(lambda leaf: leaf[:, slots], engine.cache)
+
+
+def inject_kv_pages(engine, block_ids: Sequence[int], pages) -> None:
+    """Scatter previously extracted pages into this engine's blocks."""
+    slots = _block_slots(block_ids, engine.block_size)
+    engine.cache = jax.tree.map(
+        lambda leaf, rows: leaf.at[:, slots].set(rows), engine.cache, pages
+    )
+
+
+class PageStore:
+    """Published KV pages, addressed by pool key (node-agnostic content
+    store — the mooncake object store)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._pages: Dict[Hashable, object] = {}
+
+    def put(self, key: Hashable, pages) -> None:
+        with self._lock:
+            self._pages[key] = pages
+
+    def get(self, key: Hashable):
+        with self._lock:
+            return self._pages.get(key)
+
+    def drop(self, key: Hashable) -> None:
+        with self._lock:
+            self._pages.pop(key, None)
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._pages)
+
+
+class PDWorker:
+    """A serving engine participating in the global KV pool."""
+
+    def __init__(self, engine, connector: KVConnector, store: PageStore):
+        self.engine = engine
+        self.connector = connector
+        self.store = store
+        self._next = 0
+
+    # ---- publish (prefill side / request_finished) --------------------------
+
+    def publish_finished(self, token_ids: Sequence[int]) -> int:
+        """Publish every full block of ``token_ids`` that sits in the local
+        prefix cache: pages to the store, metadata to the pool."""
+        eng = self.engine
+        bs = eng.block_size
+        hashes = compute_block_hashes(list(token_ids), bs, eng.kv_mgr.extra_key)
+        pairs: List[Tuple[Hashable, int]] = []
+        for i, h in enumerate(hashes):
+            bid = eng.kv_mgr.pool.get_cached_block(h)
+            if bid is None:
+                break  # chain: later blocks depend on this one
+            pairs.append((h, bid))
+        if not pairs:
+            return 0
+        for h, bid in pairs:
+            self.store.put(self.connector._key(h), extract_kv_pages(eng, [bid]))
+        self.connector.publish_kv([h for h, _ in pairs])
+        return len(pairs)
+
+    # ---- pull (decode side / admission) --------------------------------------
+
+    def pull_prefix(self, token_ids: Sequence[int], timeout: float = 30.0) -> int:
+        """Pull the longest published prefix into the LOCAL prefix cache.
+
+        After this, the engine's own admission path hits the prefix like any
+        locally cached one.  Returns the number of tokens made local.
+        """
+        eng = self.engine
+        bs = eng.block_size
+        hashes = compute_block_hashes(list(token_ids), bs, eng.kv_mgr.extra_key)
+        if not hashes:
+            return 0
+
+        rid = f"pull-{self._next}"
+        self._next += 1
+        n_tokens, load_async = self.connector.get_num_new_matched_tokens(rid, hashes)
+        if n_tokens == 0:
+            return 0
+        if load_async and not self.connector.wait_for_kv(rid, timeout=timeout):
+            return 0  # transfer failed/timed out -> recompute locally
+        n_blocks = n_tokens // bs
+
+        # Skip blocks already local; fetch the rest from the store.
+        new_hashes, new_pages = [], []
+        for h in hashes[:n_blocks]:
+            if eng.kv_mgr.pool.get_cached_block(h) is not None:
+                continue
+            pages = self.store.get(self.connector._key(h))
+            if pages is None:
+                break  # chain break: stop at the first unfetchable block
+            new_hashes.append(h)
+            new_pages.append(pages)
+        if new_hashes:
+            try:
+                ids = eng.kv_mgr.pool.get_new_blocks(len(new_hashes))
+            except RuntimeError:
+                return 0  # local pool full: fall back to recompute
+            for bid, pages in zip(ids, new_pages):
+                inject_kv_pages(eng, [bid], pages)
+            # Register + release: ref 0 but hashed => future admissions hit.
+            eng.kv_mgr.pool.cache_full_blocks(
+                ids, new_hashes, 0, len(new_hashes))
+            eng.kv_mgr.pool.free_blocks(ids)
+            self.connector.mark_local(new_hashes)
+        return n_blocks * bs
+
+    # ---- serve ---------------------------------------------------------------
+
+    def generate(self, prompts, sampling, publish: bool = True):
+        """Pool-aware serving: pull published prefixes, generate, publish."""
+        for p in prompts:
+            self.pull_prefix(p)
+        out = self.engine.generate(prompts, sampling)
+        if publish:
+            for p in prompts:
+                self.publish_finished(p)
+        return out
