@@ -7,7 +7,7 @@ global_kv_pool.py:618-760).  Run all, or one:
     python -m vllm_from_scratch_tpu.demo            # all
     python -m vllm_from_scratch_tpu.demo engine     # one section
 
-Sections: paged, prefix, moe, mla, engine, spec, cluster.
+Sections: paged, prefix, moe, mla, engine, spec, cluster, pd.
 """
 
 from __future__ import annotations
@@ -183,6 +183,44 @@ def demo_cluster():
           f"hit rate {cl.meta_server.hit_rate:.2f}")
 
 
+def demo_pd_dataplane():
+    """Real PD data plane (beyond the reference's simulation): the decode
+    engine generates from KV pages the prefill engine computed."""
+    from .core.config import (
+        CacheConfig, EngineConfig, ModelConfig, SamplingParams, SchedulerConfig,
+    )
+    from .core.engine import LLMEngine
+    from .distributed.connector import KVConnector
+    from .distributed.metadata import GlobalMetadataServer
+    from .distributed.pd import PageStore, PDWorker
+    from .distributed.transfer import TransferEngine
+
+    print("== PD data plane (real KV bytes) ==")
+
+    def eng():
+        return LLMEngine(EngineConfig(
+            model=ModelConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                              num_heads=4, num_kv_heads=4, max_position=256,
+                              intermediate_size=64),
+            cache=CacheConfig(block_size=16, num_blocks=64, kv_quant="int8"),
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=128),
+        ))
+
+    meta, store = GlobalMetadataServer(), PageStore()
+    prefill = PDWorker(eng(), KVConnector(0, meta, TransferEngine(0), 16), store)
+    decode = PDWorker(eng(), KVConnector(1, meta, TransferEngine(1), 16), store)
+    sp = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True)
+    prompt = list(range(1, 49))
+    out_p = prefill.generate([prompt], sp)
+    pulled = decode.pull_prefix(prompt)
+    out_d = decode.engine.generate([prompt], sp)
+    print(f"  prefill node published {len(store)} blocks;"
+          f" decode node pulled {pulled} tokens of KV")
+    print(f"  outputs identical: {list(out_p.values()) == list(out_d.values())}"
+          f" (decode prefix hit rate {decode.engine.kv_mgr.hit_rate:.2f})")
+
+
 SECTIONS = {
     "paged": demo_paged,
     "prefix": demo_prefix,
@@ -191,6 +229,7 @@ SECTIONS = {
     "engine": demo_engine,
     "spec": demo_spec,
     "cluster": demo_cluster,
+    "pd": demo_pd_dataplane,
 }
 
 
