@@ -33,11 +33,15 @@ GREEDY = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True)
 PROMPT = list(range(1, 49))  # 3 full blocks
 
 
-def make_engine(kv_quant="int8", seed=0):
+def make_engine(kv_quant="int8", seed=0, mla=False):
+    kw = dict(vocab_size=128, hidden_size=64, num_layers=2,
+              num_heads=4, num_kv_heads=4, max_position=256,
+              intermediate_size=64)
+    if mla:
+        kw.update(kv_lora_rank=16, qk_rope_head_dim=8, qk_nope_head_dim=16,
+                  v_head_dim=16)
     return LLMEngine(EngineConfig(
-        model=ModelConfig(vocab_size=128, hidden_size=64, num_layers=2,
-                          num_heads=4, num_kv_heads=4, max_position=256,
-                          intermediate_size=64),
+        model=ModelConfig(**kw),
         cache=CacheConfig(block_size=16, num_blocks=64, kv_quant=kv_quant),
         scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=128),
         seed=seed,
@@ -107,4 +111,20 @@ class TestPageMovement:
         assert pulled >= 0  # metadata may match, but no pages -> partial/none
         out = wb.engine.generate([PROMPT], GREEDY)       # still serves
         cold = make_engine().generate([PROMPT], GREEDY)
+        assert list(out.values()) == list(cold.values())
+
+
+    def test_mla_latent_pages_move(self):
+        """The data plane is cache-layout agnostic: MLA latent pages
+        (c/kr/scales) move and reproduce cold generation exactly."""
+        meta, store = GlobalMetadataServer(), PageStore()
+        wa = PDWorker(make_engine(mla=True),
+                      KVConnector(0, meta, TransferEngine(0), 16), store)
+        wb = PDWorker(make_engine(mla=True),
+                      KVConnector(1, meta, TransferEngine(1), 16), store)
+        cold = make_engine(mla=True).generate([PROMPT], GREEDY)
+        wa.generate([PROMPT], GREEDY)
+        assert wb.pull_prefix(PROMPT) >= 32
+        out = wb.engine.generate([PROMPT], GREEDY)
+        assert wb.engine.kv_mgr.hit_rate > 0
         assert list(out.values()) == list(cold.values())

@@ -183,3 +183,46 @@ def test_flagship_target_spec_decode():
     out = eng.generate([[3, 4, 5], [9, 8]], sp)
     assert all(len(v) == 10 for v in out.values())
     assert eng.stats().get("spec_drafted", 0) > 0
+
+
+class TestNgramSpec:
+    def test_propose_ngram(self):
+        from vllm_from_scratch_tpu.ops.rejection import propose_ngram
+
+        t = [1, 2, 3, 4, 1, 2, 9, 8, 1, 2]
+        # last 2-gram (1,2) occurred at idx 4 (followed by 9,8) and idx 0
+        # (followed by 3,4); most recent wins
+        assert propose_ngram(t, n=2, k=2) == [9, 8]
+        assert propose_ngram([1, 2, 3], n=2, k=2) is None  # no earlier match
+        assert propose_ngram([5], n=2, k=2) is None        # too short
+        # short continuation pads by repeating
+        assert propose_ngram([7, 1, 2, 3, 1, 2], n=2, k=3) == [3, 1, 2]
+
+    def test_ngram_engine_greedy_matches_plain(self):
+        """Exactness: ngram-spec greedy output == plain engine output, on a
+        repetitive prompt (proposals fire) and a random one (fallback)."""
+        from vllm_from_scratch_tpu.core.config import (
+            CacheConfig, EngineConfig, ModelConfig, SamplingParams,
+            SchedulerConfig, SpecConfig,
+        )
+        from vllm_from_scratch_tpu.core.engine import LLMEngine
+
+        model = ModelConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                            num_heads=4, num_kv_heads=4, max_position=256,
+                            intermediate_size=64)
+        base = dict(
+            model=model,
+            cache=CacheConfig(block_size=16, num_blocks=64),
+            scheduler=SchedulerConfig(max_num_seqs=2,
+                                      max_num_batched_tokens=64),
+        )
+        sp = SamplingParams(max_new_tokens=12, temperature=0.0, ignore_eos=True)
+        prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [9, 10, 11, 12]]
+
+        plain = LLMEngine(EngineConfig(**base)).generate(prompts, sp)
+        ng = LLMEngine(EngineConfig(
+            **base, spec=SpecConfig(method="ngram", num_draft_tokens=3,
+                                    ngram_n=2)))
+        out = ng.generate(prompts, sp)
+        assert list(out.values()) == list(plain.values())
+        assert ng.stats().get("spec_drafted", 0) > 0

@@ -120,12 +120,17 @@ class ParallelConfig:
 @dataclass(frozen=True)
 class SpecConfig:
     """Speculative decoding (blog components: BLOG_PART2.md:1121-1330,
-    BLOG_PART2_V2.md:983-1056).  A small draft model proposes
-    num_draft_tokens per step; the target verifies them in one forward and
-    a distribution-exact rejection sampler keeps a prefix."""
+    BLOG_PART2_V2.md:983-1056).  method="draft_model": a small draft model
+    proposes num_draft_tokens per step; method="ngram": draft-free
+    prompt-lookup — the K tokens that followed the last occurrence of the
+    current ngram_n-token suffix are proposed (one-hot draft distribution).
+    Either way the target verifies in one forward and the distribution-exact
+    rejection sampler keeps a prefix."""
 
-    draft: "ModelConfig" = None  # required; must share vocab/max_position
+    draft: Optional["ModelConfig"] = None  # required for method="draft_model"
     num_draft_tokens: int = 4
+    method: str = "draft_model"  # or "ngram"
+    ngram_n: int = 2             # suffix length matched for prompt lookup
 
 
 @dataclass(frozen=True)

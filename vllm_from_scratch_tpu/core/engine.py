@@ -28,7 +28,7 @@ import numpy as np
 
 from ..models import transformer
 from ..models.transformer import ModelBatch
-from ..ops.rejection import rejection_sample
+from ..ops.rejection import propose_ngram, rejection_sample
 from ..ops.sampling import filtered_probs, make_sampling_state, sample, sample_with_probs
 from .config import EngineConfig, SamplingParams
 from .kv_cache_manager import KVCacheManager, cdiv
@@ -162,7 +162,37 @@ class LLMEngine:
         # ---- speculative decoding (optional) ---------------------------
         self.draft_params = None
         self.draft_cache = None
-        if config.spec is not None:
+        if config.spec is not None and config.spec.method == "ngram":
+            assert not use_pp, (
+                "speculative decoding + pipeline parallelism not supported yet"
+            )
+
+            # Draft-free prompt lookup: host proposes, ONE target forward
+            # verifies, the exact rejection sampler consumes a one-hot draft
+            # distribution (accept prob = p_target(draft)).
+            def _ngram_verify(pt, ct, tok0, pos0, tables, slots_k, drafts,
+                              sstate, skey):
+                K = slots_k.shape[1] - 1
+                ver_tokens = jnp.concatenate([tok0[:, None], drafts], axis=1)
+                ver_pos = pos0[:, None] + jnp.arange(K + 1)[None, :]
+                b = ModelBatch(
+                    tokens=ver_tokens, positions=ver_pos, slots=slots_k,
+                    block_tables=tables, ctx_lens=pos0 + K + 1,
+                    q_lens=jnp.full_like(pos0, K + 1),
+                )
+                all_logits, ct = transformer.forward(
+                    pt, ct, b, mcfg, block_size=ccfg.block_size, mesh=mesh,
+                    ep_dispatch=ep_dispatch, return_all_logits=True,
+                )
+                target_probs = filtered_probs(all_logits, sstate)
+                draft_probs = jax.nn.one_hot(
+                    drafts, mcfg.vocab_size, dtype=jnp.float32)
+                out, n_acc = rejection_sample(drafts, draft_probs,
+                                              target_probs, skey)
+                return out, n_acc, ct
+
+            self._ngram_verify_fn = jax.jit(_ngram_verify, donate_argnums=(1,))
+        elif config.spec is not None:
             assert not use_pp, (
                 "speculative decoding + pipeline parallelism not supported yet"
             )
@@ -423,6 +453,20 @@ class LLMEngine:
         if self.config.spec is None or any(it.num_new_tokens != 1 for it in scheduled):
             return None
         K = self.config.spec.num_draft_tokens
+
+        drafts = None
+        if self.config.spec.method == "ngram":
+            # Host-side prompt lookup; fall back to plain decode when no
+            # request has a matching suffix.
+            props = [
+                propose_ngram(it.request.all_token_ids()[: it.start_pos + 1],
+                              self.config.spec.ngram_n, K)
+                for it in scheduled
+            ]
+            if all(p is None for p in props):
+                return None
+            drafts = [p if p is not None else [0] * K for p in props]
+
         for it in scheduled:
             if self.kv_mgr.allocate_slots(it.request, K + 1) is None:
                 return None
@@ -446,10 +490,18 @@ class LLMEngine:
 
         sstate = make_sampling_state([it.request for it in scheduled], B_pad)
         self._rng, skey = jax.random.split(self._rng)
-        out, n_acc, self.cache, self.draft_cache = self._spec_step_fn(
-            self.params, self.draft_params, self.cache, self.draft_cache,
-            tok0, pos0, tables, slots_k, sstate, skey,
-        )
+        if drafts is not None:
+            d = np.zeros((B_pad, K), np.int32)
+            d[:B] = np.asarray(drafts, np.int32)
+            out, n_acc, self.cache = self._ngram_verify_fn(
+                self.params, self.cache, tok0, pos0, tables, slots_k, d,
+                sstate, skey,
+            )
+        else:
+            out, n_acc, self.cache, self.draft_cache = self._spec_step_fn(
+                self.params, self.draft_params, self.cache, self.draft_cache,
+                tok0, pos0, tables, slots_k, sstate, skey,
+            )
         out = np.asarray(out)      # [B_pad, K+1]
         n_acc = np.asarray(n_acc)  # [B_pad]
 

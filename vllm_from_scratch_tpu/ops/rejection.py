@@ -77,3 +77,28 @@ def rejection_sample(
     )
     out = out.at[jnp.arange(B), num_accepted].set(final)
     return out.astype(jnp.int32), num_accepted.astype(jnp.int32)
+
+
+def propose_ngram(tokens, n: int, k: int):
+    """Prompt-lookup drafting (vLLM's ngram speculator): find the most
+    recent earlier occurrence of the last ``n`` tokens and propose the ``k``
+    tokens that followed it.  Returns a list of k ints, or None if the
+    suffix never occurred before (or history is too short).
+
+    Host-side pure Python — runs on the request's token ids while the
+    device is busy; the proposals become a one-hot draft distribution for
+    the exact rejection sampler (q = delta => accept prob = p_target(d))."""
+    t = list(tokens)
+    if len(t) <= n:
+        return None
+    suffix = t[-n:]
+    # scan right-to-left for the most recent match that has a continuation
+    for i in range(len(t) - n - 1, -1, -1):
+        if t[i:i + n] == suffix:
+            cont = t[i + n : i + n + k]
+            if not cont:
+                return None
+            while len(cont) < k:       # pad short continuations by repeating
+                cont.append(cont[-1])
+            return cont
+    return None
