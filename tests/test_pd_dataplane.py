@@ -128,3 +128,52 @@ class TestPageMovement:
         out = wb.engine.generate([PROMPT], GREEDY)
         assert wb.engine.kv_mgr.hit_rate > 0
         assert list(out.values()) == list(cold.values())
+
+
+class TestAsyncAdmission:
+    def test_remote_pull_overlaps_local_serving(self):
+        """A request waiting on a slow remote KV pull must not block other
+        traffic: a locally-submitted request finishes while the pull is in
+        flight; the remote one admits afterwards with a prefix hit and
+        produces the exact cold output."""
+        import time as _t
+
+        from vllm_from_scratch_tpu.distributed.transfer import (
+            TransferEngine, TransferResult,
+        )
+
+        class SlowWire:
+            def transfer(self, req):
+                _t.sleep(0.6)
+                return TransferResult(req.transfer_id, True, 100, 0.6)
+
+        meta, store = GlobalMetadataServer(), PageStore()
+        wa = PDWorker(make_engine(),
+                      KVConnector(0, meta, TransferEngine(0), 16), store)
+        wb = PDWorker(make_engine(),
+                      KVConnector(1, meta, TransferEngine(1, backend=SlowWire()),
+                                  16), store)
+        cold = make_engine().generate([PROMPT], GREEDY)
+        wa.generate([PROMPT], GREEDY)  # publish
+
+        handle = wb.submit_async(PROMPT, GREEDY)           # slow remote pull
+        local_id = wb.engine.add_request([99, 98, 97], GREEDY)
+        local_done = None
+        outputs = {}
+        deadline = _t.monotonic() + 30
+        while (_t.monotonic() < deadline
+               and (wb.num_waiting_remote or wb.engine.has_unfinished
+                    or handle["req_id"] is None
+                    or len(outputs.get(handle["req_id"], [])) < 8)):
+            for rid, tok in wb.step():
+                outputs.setdefault(rid, []).append(tok)
+                if rid == local_id and len(outputs[rid]) == 8:
+                    local_done = _t.monotonic()
+                    # at this moment the remote request is still pulling
+                    if wb.num_waiting_remote:
+                        assert handle["req_id"] is None
+
+        assert local_done is not None
+        assert handle["req_id"] is not None
+        assert outputs[handle["req_id"]] == list(cold.values())[0]
+        assert wb.engine.kv_mgr.hit_rate > 0

@@ -95,6 +95,8 @@ class PDWorker:
         self.connector = connector
         self.store = store
         self._next = 0
+        self._alock = threading.Lock()
+        self._pending: List[dict] = []  # async submits awaiting remote KV
 
     # ---- publish (prefill side / request_finished) --------------------------
 
@@ -119,28 +121,25 @@ class PDWorker:
 
     # ---- pull (decode side / admission) --------------------------------------
 
-    def pull_prefix(self, token_ids: Sequence[int], timeout: float = 30.0) -> int:
-        """Pull the longest published prefix into the LOCAL prefix cache.
-
-        After this, the engine's own admission path hits the prefix like any
-        locally cached one.  Returns the number of tokens made local.
-        """
+    def _fetch_prefix(self, token_ids: Sequence[int], timeout: float = 30.0):
+        """Transfer-plane half of a pull (SAFE off the serving thread: only
+        touches connector/metadata/store, never the engine cache).
+        Returns (matched_tokens, new_hashes, new_pages)."""
         eng = self.engine
         bs = eng.block_size
         hashes = compute_block_hashes(list(token_ids), bs, eng.kv_mgr.extra_key)
         if not hashes:
-            return 0
+            return 0, [], []
 
         rid = f"pull-{self._next}"
         self._next += 1
         n_tokens, load_async = self.connector.get_num_new_matched_tokens(rid, hashes)
         if n_tokens == 0:
-            return 0
+            return 0, [], []
         if load_async and not self.connector.wait_for_kv(rid, timeout=timeout):
-            return 0  # transfer failed/timed out -> recompute locally
+            return 0, [], []  # transfer failed/timed out -> recompute locally
         n_blocks = n_tokens // bs
 
-        # Skip blocks already local; fetch the rest from the store.
         new_hashes, new_pages = [], []
         for h in hashes[:n_blocks]:
             if eng.kv_mgr.pool.get_cached_block(h) is not None:
@@ -150,19 +149,82 @@ class PDWorker:
                 break  # chain break: stop at the first unfetchable block
             new_hashes.append(h)
             new_pages.append(pages)
-        if new_hashes:
+        return n_blocks * bs, new_hashes, new_pages
+
+    def _install_prefix(self, new_hashes, new_pages) -> None:
+        """Cache-plane half of a pull — MUST run on the serving thread (the
+        engine's step donates the cache arrays; concurrent injection races
+        with donation)."""
+        if not new_hashes:
+            return
+        eng = self.engine
+        try:
+            ids = eng.kv_mgr.pool.get_new_blocks(len(new_hashes))
+        except RuntimeError:
+            return  # local pool full: fall back to recompute
+        for bid, pages in zip(ids, new_pages):
+            inject_kv_pages(eng, [bid], pages)
+        # Register + release: ref 0 but hashed => future admissions hit.
+        eng.kv_mgr.pool.cache_full_blocks(ids, new_hashes, 0, len(new_hashes))
+        eng.kv_mgr.pool.free_blocks(ids)
+        self.connector.mark_local(new_hashes)
+
+    def pull_prefix(self, token_ids: Sequence[int], timeout: float = 30.0) -> int:
+        """Pull the longest published prefix into the LOCAL prefix cache
+        (synchronous).  Returns the number of tokens made local."""
+        n_tokens, new_hashes, new_pages = self._fetch_prefix(token_ids, timeout)
+        self._install_prefix(new_hashes, new_pages)
+        return n_tokens
+
+    # ---- async admission (WAITING_FOR_REMOTE_KVS) -----------------------------
+
+    def submit_async(self, prompt: Sequence[int], sampling) -> dict:
+        """Non-blocking submit: the remote-prefix pull runs in a background
+        thread (the request is effectively WAITING_FOR_REMOTE_KVS) while the
+        engine keeps serving other traffic; the request admits on the next
+        ``poll_admissions``/``step`` after the pull lands.  Returns a handle
+        dict (``handle["req_id"]`` is set once admitted)."""
+        handle = {"prompt": list(prompt), "sampling": sampling,
+                  "ready": False, "req_id": None}
+        with self._alock:
+            self._pending.append(handle)
+
+        def _work():
+            # Only the transfer plane runs here; injection into the engine
+            # cache is deferred to poll_admissions on the serving thread.
             try:
-                ids = eng.kv_mgr.pool.get_new_blocks(len(new_hashes))
-            except RuntimeError:
-                return 0  # local pool full: fall back to recompute
-            for bid, pages in zip(ids, new_pages):
-                inject_kv_pages(eng, [bid], pages)
-            # Register + release: ref 0 but hashed => future admissions hit.
-            eng.kv_mgr.pool.cache_full_blocks(
-                ids, new_hashes, 0, len(new_hashes))
-            eng.kv_mgr.pool.free_blocks(ids)
-            self.connector.mark_local(new_hashes)
-        return n_blocks * bs
+                _, hs, pgs = self._fetch_prefix(handle["prompt"])
+                handle["fetched"] = (hs, pgs)
+            except Exception:
+                handle["fetched"] = ([], [])
+            finally:
+                handle["ready"] = True
+
+        threading.Thread(target=_work, daemon=True).start()
+        return handle
+
+    def poll_admissions(self) -> List[int]:
+        """Admit every async submit whose remote pull completed."""
+        with self._alock:
+            ready = [h for h in self._pending if h["ready"]]
+            self._pending = [h for h in self._pending if not h["ready"]]
+        ids = []
+        for h in ready:
+            hs, pgs = h.get("fetched", ([], []))
+            self._install_prefix(hs, pgs)
+            h["req_id"] = self.engine.add_request(h["prompt"], h["sampling"])
+            ids.append(h["req_id"])
+        return ids
+
+    @property
+    def num_waiting_remote(self) -> int:
+        with self._alock:
+            return len(self._pending)
+
+    def step(self):
+        """One serving iteration: admit landed pulls, then engine.step()."""
+        self.poll_admissions()
+        return self.engine.step()
 
     # ---- serve ---------------------------------------------------------------
 
