@@ -177,3 +177,51 @@ class TestAsyncAdmission:
         assert handle["req_id"] is not None
         assert outputs[handle["req_id"]] == list(cold.values())[0]
         assert wb.engine.kv_mgr.hit_rate > 0
+
+
+class TestRouter:
+    """DP request router (SURVEY §2c DP row): prefix affinity + load balance."""
+
+    def _cluster(self, n=3):
+        meta, store = GlobalMetadataServer(), PageStore()
+        workers = [
+            PDWorker(make_engine(),
+                     KVConnector(i, meta, TransferEngine(i), 16), store)
+            for i in range(n)
+        ]
+        from vllm_from_scratch_tpu.distributed.router import Router
+
+        return Router(workers, meta), workers, meta
+
+    def test_prefix_affinity(self):
+        router, workers, meta = self._cluster()
+        # node 1 serves + publishes the prefix
+        workers[1].generate([PROMPT], GREEDY)
+        w = router.pick(PROMPT + [7, 8])
+        assert w is workers[1]
+        assert router.stats["affinity_hits"] == 1
+
+    def test_cold_requests_balance_by_load(self):
+        router, workers, meta = self._cluster()
+        # preload node 0 with traffic
+        for _ in range(3):
+            workers[0].engine.add_request([1, 2, 3], GREEDY)
+        w = router.pick(list(range(90, 99)))
+        assert w is not workers[0]
+        assert router.stats["balanced"] == 1
+
+    def test_end_to_end_routing(self):
+        router, workers, meta = self._cluster(2)
+        cold = make_engine().generate([PROMPT], GREEDY)
+        workers[0].generate([PROMPT], GREEDY)  # publish on node 0
+        w, rid = router.submit(PROMPT, GREEDY)
+        assert w is workers[0]                 # affinity: KV already local
+        out = []
+        for _ in range(200):
+            for node, r, tok in router.step_all():
+                if r == rid and w.connector.node_id == node:
+                    out.append(tok)
+            if len(out) >= 8:
+                break
+        assert out == list(cold.values())[0]
+        assert w.engine.kv_mgr.hit_rate > 0    # served from the local prefix
