@@ -19,7 +19,6 @@ Equivalent of the reference's ``MiniVLLM`` (ref: 05_mini_vllm/mini_vllm.py:
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -32,7 +31,7 @@ from ..ops.rejection import propose_ngram, rejection_sample
 from ..ops.sampling import filtered_probs, make_sampling_state, sample, sample_with_probs
 from .config import EngineConfig, SamplingParams
 from .kv_cache_manager import KVCacheManager, cdiv
-from .request import Request, RequestStatus
+from .request import Request
 from .scheduler import ScheduledRequest, Scheduler
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
-from typing import Iterable, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 # Domain-separation tag so a KV block hash can never collide with other
 # sha256 uses; bump the version to invalidate every cache cluster-wide.

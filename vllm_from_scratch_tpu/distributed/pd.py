@@ -29,7 +29,7 @@ itself (same weights) — the transferred bytes are the real KV.
 from __future__ import annotations
 
 import threading
-from typing import Dict, Hashable, List, Optional, Sequence, Tuple
+from typing import Dict, Hashable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ serve M conversations", BLOG_PART3.md:860).
 from __future__ import annotations
 
 from collections import Counter
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 from ..core.hashing import compute_block_hashes
 from .metadata import GlobalMetadataServer

@@ -24,7 +24,7 @@ import itertools
 import queue
 import threading
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Dict, Hashable, List, Optional, Sequence
 
 from .metadata import KV_BLOCK_BYTES

@@ -31,8 +31,7 @@ from ..ops.rotary import apply_rope, make_rope_table
 from . import mla as mla_mod
 from . import moe as moe_mod
 from .layers import (
-    QuantizedLinear, init_linear, mm, quantize_linear, quantize_linear4,
-    rms_norm, swiglu,
+    init_linear, mm, quantize_linear, quantize_linear4, rms_norm, swiglu,
 )
 
 

@@ -17,7 +17,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "block_pool.cc")

@@ -12,8 +12,6 @@ replicated activations the psum is the entire communication).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
