@@ -114,3 +114,40 @@ def test_oom_pressure_never_wedges():
         check_invariants(eng)
     assert not eng.has_unfinished
     assert eng.kv_mgr.reset_prefix_cache() is True
+
+
+def test_random_traffic_with_ngram_spec():
+    """The fuzz invariants hold with n-gram speculative decoding active
+    (spec steps allocate K+1 slots ahead and emit bursts)."""
+    from vllm_from_scratch_tpu.core.config import SpecConfig
+
+    rng = random.Random(3)
+    eng = LLMEngine(EngineConfig(
+        model=ModelConfig(vocab_size=64, hidden_size=32, num_layers=1,
+                          num_heads=2, num_kv_heads=2, max_position=256,
+                          intermediate_size=32),
+        cache=CacheConfig(block_size=16, num_blocks=24),
+        scheduler=SchedulerConfig(max_num_seqs=3, max_num_batched_tokens=48),
+        spec=SpecConfig(method="ngram", num_draft_tokens=3, ngram_n=2),
+    ))
+    submitted = 0
+    for step in range(100):
+        if rng.random() < 0.3 and submitted < 8:
+            n = rng.randint(1, 60)
+            base = [rng.randint(1, 63) for _ in range(max(1, n // 3))]
+            prompt = (base * 3)[:n] or [1]   # repetitive => proposals fire
+            eng.add_request(prompt, SamplingParams(
+                max_new_tokens=rng.randint(1, 8),
+                temperature=rng.choice([0.0, 1.0]), ignore_eos=True))
+            submitted += 1
+        else:
+            for rid, tok in eng.step():
+                assert 0 <= tok < 64
+        check_invariants(eng)
+    for _ in range(300):
+        if not eng.has_unfinished:
+            break
+        eng.step()
+        check_invariants(eng)
+    assert not eng.has_unfinished
+    assert eng.kv_mgr.reset_prefix_cache() is True
