@@ -21,8 +21,10 @@ from vllm_from_scratch_tpu.core.engine import LLMEngine
 from vllm_from_scratch_tpu.core.request import RequestStatus
 
 
-def small_engine(num_blocks=24, decode_steps=1):
-    return LLMEngine(EngineConfig(
+def small_engine(num_blocks=24, decode_steps=1, pool_impl="auto"):
+    from vllm_from_scratch_tpu.core.kv_cache_manager import KVCacheManager
+
+    eng = LLMEngine(EngineConfig(
         model=ModelConfig(vocab_size=64, hidden_size=32, num_layers=1,
                           num_heads=2, num_kv_heads=2, max_position=256,
                           intermediate_size=32),
@@ -30,6 +32,10 @@ def small_engine(num_blocks=24, decode_steps=1):
         scheduler=SchedulerConfig(max_num_seqs=3, max_num_batched_tokens=48,
                                   decode_steps=decode_steps),
     ))
+    if pool_impl != "auto":
+        eng.kv_mgr = KVCacheManager(num_blocks, 16, pool_impl=pool_impl)
+        eng.scheduler.kv = eng.kv_mgr
+    return eng
 
 
 def check_invariants(eng):
@@ -56,9 +62,10 @@ def check_invariants(eng):
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize("decode_steps", [1, 4])
-def test_random_traffic(seed, decode_steps):
+@pytest.mark.parametrize("pool_impl", ["auto", "python"])
+def test_random_traffic(seed, decode_steps, pool_impl):
     rng = random.Random(seed)
-    eng = small_engine(decode_steps=decode_steps)
+    eng = small_engine(decode_steps=decode_steps, pool_impl=pool_impl)
     live = []
     done = {}
     submitted = 0
