@@ -49,7 +49,7 @@ def build_engine():
     return LLMEngine(cfg)
 
 
-def run(num_requests=16, prompt_len=64, new_tokens=128):
+def run(num_requests=16, prompt_len=64, new_tokens=128, shared_prefix=32):
     from vllm_from_scratch_tpu.core.config import SamplingParams
 
     eng = build_engine()
@@ -57,11 +57,23 @@ def run(num_requests=16, prompt_len=64, new_tokens=128):
     sp = SamplingParams(max_new_tokens=new_tokens, temperature=1.0, top_p=0.95,
                         ignore_eos=True)
 
-    # Warmup: compile every bucket the measured run will use.
-    warm = [list(rng.randint(1, 999, prompt_len)) for _ in range(num_requests)]
-    eng.generate(warm, sp, max_steps=new_tokens + 40)
+    # Realistic traffic: every request shares a system prefix (2 full blocks)
+    # so the prefix-cache north-star metric is exercised.
+    sys_prefix = list(rng.randint(1, 999, shared_prefix))
 
-    prompts = [list(rng.randint(1, 999, prompt_len)) for _ in range(num_requests)]
+    def make_prompts():
+        return [
+            sys_prefix + list(rng.randint(1, 999, prompt_len - shared_prefix))
+            for _ in range(num_requests)
+        ]
+
+    # Warmup twice: the first pass populates the prefix cache, the second
+    # compiles the buckets a fully-warm run actually uses (cached-prefix
+    # admissions produce different chunk shapes than cold ones).
+    eng.generate(make_prompts(), sp, max_steps=new_tokens + 40)
+    eng.generate(make_prompts(), sp, max_steps=new_tokens + 40)
+
+    prompts = make_prompts()
     submit = time.perf_counter()
     ids = [eng.add_request(p, sp) for p in prompts]
     first_token = {}
