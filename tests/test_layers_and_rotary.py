@@ -193,3 +193,40 @@ class TestHashingAndEngineEdges:
         # same greedy continuation both times (prefix cache hit is a layout
         # change, not a numerics change)
         assert list(out1.values()) == list(out2.values())
+
+
+class TestTopK:
+    def test_top_k_restricts_support(self):
+        """top_k=k: only the k highest-logit tokens are ever sampled."""
+        from vllm_from_scratch_tpu.ops.sampling import SamplingState, sample
+
+        B, V, k = 4, 32, 3
+        logits = jax.random.normal(jax.random.PRNGKey(0), (B, V))
+        top = np.argsort(-np.asarray(logits), axis=-1)[:, :k]
+        st = SamplingState(
+            temperature=jnp.full((B,), 1.0),
+            top_p=jnp.ones((B,)),
+            top_k=jnp.full((B,), k, jnp.int32),
+        )
+        for i in range(50):
+            toks = np.asarray(sample(logits, st, jax.random.PRNGKey(i)))
+            for b in range(B):
+                assert toks[b] in top[b], (b, toks[b], top[b])
+
+    def test_top_k_zero_disables(self):
+        from vllm_from_scratch_tpu.ops.sampling import top_p_top_k_mask
+
+        logits = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+        mask = top_p_top_k_mask(
+            logits, jnp.ones((2,)), jnp.zeros((2,), jnp.int32))
+        assert bool(jnp.all(mask))
+
+    def test_top_k_and_top_p_compose(self):
+        """Intersection semantics: k=2 with a tight nucleus keeps <= 2."""
+        from vllm_from_scratch_tpu.ops.sampling import top_p_top_k_mask
+
+        logits = jnp.asarray([[10.0, 9.0, 1.0, 0.0]])
+        mask = top_p_top_k_mask(
+            logits, jnp.asarray([0.5]), jnp.asarray([2], jnp.int32))
+        kept = np.asarray(mask)[0]
+        assert kept[0] and not kept[2] and not kept[3]
