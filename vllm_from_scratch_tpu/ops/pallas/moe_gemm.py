@@ -146,12 +146,24 @@ def fused_moe_pallas(
     num_tiles = x_pad.shape[0] // tile_m
 
     # Block the F axis so per-step weight blocks fit VMEM (wg+wu+wd blocks
-    # double-buffered must stay well under the ~16 MB budget).
-    f_blk = F
-    while 2 * (2 * D * f_blk + f_blk * D) * max(
-        1, jnp.dtype(wg.dtype).itemsize
-    ) > 6 * 1024 * 1024 and f_blk % 2 == 0:
-        f_blk //= 2
+    # double-buffered must stay well under the ~16 MB budget).  Mosaic
+    # requires the trailing block dims to be 128-divisible (or the full
+    # array dim), so candidates are 128-multiples that divide F; when F
+    # itself isn't 128-divisible the only legal choice is F (full dim).
+    itemsize = max(1, jnp.dtype(wg.dtype).itemsize)
+
+    def vmem_est(f):
+        return 2 * (2 * D * f + f * D) * itemsize
+
+    budget = 6 * 1024 * 1024
+    candidates = [f for f in range(128, F + 1, 128) if F % f == 0]
+    fitting = [f for f in candidates if vmem_est(f) <= budget]
+    if fitting:
+        f_blk = max(fitting)
+    elif candidates:
+        f_blk = min(candidates)  # smallest legal block; may exceed budget
+    else:
+        f_blk = F                # full dim (always legal)
     num_f = F // f_blk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
