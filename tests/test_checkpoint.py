@@ -88,6 +88,34 @@ def test_safetensors_shape_mismatch_raises(tmp_path):
         import_safetensors(f, bigger)
 
 
+def test_quantized_restore_onto_mesh(tmp_path):
+    """Restoring an int8-weight checkpoint onto a tp=2 mesh must shard the
+    QuantizedLinear leaves (q AND the rank-reduced scale) instead of crashing
+    on a rank-mismatched PartitionSpec (ADVICE r1: param_shardings emitted
+    float-weight specs that applied as a pytree prefix to quantized leaves)."""
+    from vllm_from_scratch_tpu.core.config import ParallelConfig, QuantConfig
+    from vllm_from_scratch_tpu.models.layers import QuantizedLinear
+
+    cfg = tiny_config(
+        num_experts=4, top_k=2, num_shared_experts=1,
+        kv_lora_rank=8, qk_rope_head_dim=4, qk_nope_head_dim=8, v_head_dim=8,
+    ).replace(quant=QuantConfig(weight_quant="int8"))
+    LLMEngine(cfg).save(str(tmp_path / "q"))
+
+    eng = LLMEngine.from_checkpoint(
+        str(tmp_path / "q"), parallel=ParallelConfig(tp_size=2)
+    )
+    moe_w = eng.params["layers"]["moe"]["w_gate"]
+    assert isinstance(moe_w, QuantizedLinear)
+    # Experts sharded over tp on axis 1 for q [L, E, D, F] and scale [L, E, F].
+    assert "tp" in str(moe_w.q.sharding.spec)
+    assert "tp" in str(moe_w.scale.sharding.spec)
+    assert moe_w.scale.sharding.shard_shape(moe_w.scale.shape)[1] == 2  # E/tp
+    sp = SamplingParams(max_new_tokens=4, temperature=0.0, ignore_eos=True)
+    out = eng.generate([[5, 6, 7]], sp)
+    assert len(out[0]) == 4
+
+
 def test_quantized_engine_roundtrip(tmp_path):
     """Saving an int8-weight engine and restoring rebuilds the
     QuantizedLinear pytree (structured orbax target) without re-quantizing."""

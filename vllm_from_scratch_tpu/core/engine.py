@@ -181,7 +181,8 @@ class LLMEngine:
                 )
                 all_logits, ct = transformer.forward(
                     pt, ct, b, mcfg, block_size=ccfg.block_size, mesh=mesh,
-                    ep_dispatch=ep_dispatch, return_all_logits=True,
+                    ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                    return_all_logits=True,
                 )
                 target_probs = filtered_probs(all_logits, sstate)
                 draft_probs = jax.nn.one_hot(
@@ -251,7 +252,8 @@ class LLMEngine:
                 )
                 all_logits, ct = transformer.forward(
                     pt, ct, b, mcfg, block_size=ccfg.block_size, mesh=mesh,
-                    ep_dispatch=ep_dispatch, return_all_logits=True,
+                    ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                    return_all_logits=True,
                 )                                          # [B, K+1, V]
                 target_probs = filtered_probs(all_logits, sstate)
                 out, n_acc = rejection_sample(
@@ -414,11 +416,16 @@ class LLMEngine:
         if K <= 1:
             return None
         # Pre-allocate blocks for K tokens per request (no preemption inside
-        # a macro-step; fall back to 1-step under memory pressure).
+        # a macro-step; fall back to 1-step under memory pressure — rolling
+        # back grants already made so the fallback doesn't over-commit).
+        granted = []
         for it in scheduled:
             extra = self.kv_mgr.allocate_slots(it.request, K)
             if extra is None:
+                for req, ids in granted:
+                    self.kv_mgr.rollback(req, ids)
                 return None
+            granted.append((it.request, extra))
 
         B = len(scheduled)
         dp = self.config.parallel.dp_size
@@ -466,9 +473,14 @@ class LLMEngine:
                 return None
             drafts = [p if p is not None else [0] * K for p in props]
 
+        granted = []
         for it in scheduled:
-            if self.kv_mgr.allocate_slots(it.request, K + 1) is None:
+            extra = self.kv_mgr.allocate_slots(it.request, K + 1)
+            if extra is None:
+                for req, ids in granted:
+                    self.kv_mgr.rollback(req, ids)
                 return None
+            granted.append((it.request, extra))
 
         B = len(scheduled)
         dp = self.config.parallel.dp_size

@@ -99,7 +99,11 @@ class KVCacheManager:
             return [], 0
         self._extend_block_hashes(request)
         hits = self.pool.lookup_prefix(request.block_hashes)
-        self.query_blocks += len(request.block_hashes)
+        # Probe-based accounting (the reference's semantics): queries count
+        # only blocks probed until the first miss terminates the chain —
+        # hit_rate stays comparable across BASELINE/RESULTS entries.
+        probed = len(hits) + (1 if len(hits) < len(request.block_hashes) else 0)
+        self.query_blocks += probed
         self.hit_blocks += len(hits)
         # Never satisfy the entire prompt from cache.
         max_hit_tokens = request.num_prompt_tokens - 1
@@ -126,6 +130,18 @@ class KVCacheManager:
         new_ids = self.pool.get_new_blocks(need)
         request.block_ids.extend(new_ids)
         return new_ids
+
+    def rollback(self, request: Request, new_ids: List[int]) -> None:
+        """Undo an ``allocate_slots`` grant (multi-step / spec-decode group
+        pre-allocation where a *later* request's grant failed): detach the
+        just-granted blocks and return them to the pool, so the fallback path
+        doesn't over-commit under exactly the memory pressure that caused it.
+        """
+        if not new_ids:
+            return
+        assert request.block_ids[-len(new_ids):] == new_ids
+        del request.block_ids[-len(new_ids):]
+        self.pool.free_blocks(list(reversed(new_ids)))
 
     def free(self, request: Request) -> None:
         """Release all blocks (finish or preempt); reverse order keeps shared

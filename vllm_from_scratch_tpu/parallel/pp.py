@@ -52,8 +52,13 @@ def pipeline_forward(
     n = mesh.shape[axis]
     L = cfg.num_layers
     assert L % n == 0, "num_layers must divide pp size"
-    M = num_microbatches or min(B, n)
-    assert B % M == 0, "batch must divide microbatches"
+    if num_microbatches is None:
+        # Largest divisor of B that is <= n (a pow2-padded batch and a
+        # non-pow2 pp_size, e.g. B=4/n=3, must not assert — pick M=2).
+        M = next(m for m in range(min(B, n), 0, -1) if B % m == 0)
+    else:
+        M = num_microbatches
+        assert B % M == 0, "batch must divide microbatches"
     Bm = B // M
 
     rope = params["rope"]

@@ -161,11 +161,41 @@ def pp_param_shardings(params: dict, mesh: Mesh) -> dict:
     }
 
 
+def _quant_aware(spec_tree: dict, params: dict) -> dict:
+    """Expand float-weight NamedShardings over quantized leaves.
+
+    ``param_shardings`` describes the float layout; a checkpoint-restored
+    tree may hold QuantizedLinear/QuantizedLinear4 leaves whose scale array
+    has one fewer axis (the contracted input axis, -2, is reduced away), so
+    applying the weight spec as a pytree prefix would hand the scale a
+    wrong-rank PartitionSpec.  Emit matching (q_spec, scale_spec) pairs
+    instead, like parallel/ep.py's _expert_spec does."""
+    from ..models.layers import QuantizedLinear, QuantizedLinear4
+
+    def fix(sharding, leaf):
+        if not isinstance(leaf, (QuantizedLinear, QuantizedLinear4)):
+            return sharding
+        q = leaf.q if isinstance(leaf, QuantizedLinear) else leaf.q4
+        mesh, spec = sharding.mesh, sharding.spec
+        full = list(spec) + [None] * (q.ndim - len(spec))
+        q_s = NamedSharding(mesh, P(*full))
+        scale_s = NamedSharding(mesh, P(*(full[:-2] + [full[-1]])))
+        if isinstance(leaf, QuantizedLinear4):
+            return QuantizedLinear4(q_s, scale_s, leaf.in_dim)
+        return QuantizedLinear(q_s, scale_s)
+
+    return jax.tree.map(fix, spec_tree, params)
+
+
 def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh,
                  mla_kv: str = "replicated") -> dict:
     if "pp" in mesh.shape:
+        # pp_param_shardings maps per-array (inside quantized leaves too),
+        # and both q and scale keep the leading [L] stage axis — no rank
+        # mismatch possible.
         return jax.device_put(params, pp_param_shardings(params, mesh))
-    return jax.device_put(params, param_shardings(cfg, mesh, mla_kv))
+    specs = _quant_aware(param_shardings(cfg, mesh, mla_kv), params)
+    return jax.device_put(params, specs)
 
 
 def shard_cache(cache, cfg: ModelConfig, mesh: Mesh,
