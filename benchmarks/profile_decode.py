@@ -21,7 +21,7 @@ import numpy as np
 HBM_GBPS = 819e9  # v5e
 
 
-def timeit(fn, *args, iters=100, warmup=3):
+def timeit(fn, *args, iters=30, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)

@@ -111,6 +111,12 @@ class ParallelConfig:
     # memory / chip divided by tp at the cost of two psums per layer —
     # PAPERS.md "TPLA: Tensor Parallel Latent Attention").
     mla_kv: str = "replicated"
+    # EPLB (BLOG_PART3_V2.md:185-187; parallel/eplb.py): every
+    # ``eplb_interval`` engine steps, re-pack experts onto ranks by measured
+    # router load and permute the weight stacks between steps.  0 = off.
+    eplb_interval: int = 0
+    # Ranks to balance over; 0 => tp_size (the EP axis).
+    eplb_ranks: int = 0
 
     @property
     def world_size(self) -> int:

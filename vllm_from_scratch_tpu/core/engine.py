@@ -78,6 +78,24 @@ class LLMEngine:
             mcfg, ccfg.num_blocks, ccfg.block_size, ccfg.kv_quant
         )
 
+        # EPLB (parallel/eplb.py): identity expert_map joins the param tree
+        # BEFORE sharding/quantization so every path sees a stable pytree.
+        self._eplb_on = config.parallel.eplb_interval > 0 and mcfg.is_moe
+        if self._eplb_on and "expert_map" not in self.params["layers"]["moe"]:
+            emap = jnp.tile(
+                jnp.arange(mcfg.num_experts, dtype=jnp.int32),
+                (mcfg.num_layers, 1),
+            )
+            layers = dict(self.params["layers"])
+            layers["moe"] = {**layers["moe"], "expert_map": emap}
+            self.params = {**self.params, "layers": layers}
+        if self._eplb_on:
+            self._eplb_counts = np.zeros(
+                (mcfg.num_layers, mcfg.num_experts), np.int64)
+            self._eplb_slot_to_logical = np.tile(
+                np.arange(mcfg.num_experts), (mcfg.num_layers, 1))
+            self._eplb_steps = 0
+
         # Multi-chip: build the mesh and lay out params/cache (GSPMD).
         self.mesh = None
         if config.parallel.world_size > 1:
@@ -108,6 +126,9 @@ class LLMEngine:
         ep_dispatch = config.parallel.ep_dispatch
         mla_kv = config.parallel.mla_kv
         use_pp = mesh is not None and "pp" in mesh.shape
+        eplb_on = self._eplb_on
+        assert not (eplb_on and use_pp), "EPLB + pipeline parallelism not supported"
+        _no_counts = jnp.zeros((0,), jnp.int32)
 
         def _fwd(params, cache, batch):
             if use_pp:
@@ -121,10 +142,22 @@ class LLMEngine:
                 ep_dispatch=ep_dispatch, mla_kv=mla_kv,
             )
 
+        def _fwd_counting(params, cache, batch):
+            """Forward that also reports [L, E] router loads (EPLB signal)."""
+            return transformer.forward(
+                params, cache, batch, mcfg, block_size=ccfg.block_size, mesh=mesh,
+                ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                collect_expert_counts=True,
+            )
+
         def _step(params, cache, batch: ModelBatch, sstate, skey):
-            logits, cache = _fwd(params, cache, batch)
+            if eplb_on:
+                logits, cache, counts = _fwd_counting(params, cache, batch)
+            else:
+                logits, cache = _fwd(params, cache, batch)
+                counts = _no_counts
             tokens = sample(logits, sstate, skey)
-            return tokens, cache
+            return tokens, cache, counts
 
         self._step_fn = jax.jit(_step, donate_argnums=(1,))
 
@@ -147,14 +180,18 @@ class LLMEngine:
                     ctx_lens=pos + 1,
                     q_lens=jnp.ones_like(pos),
                 )
-                logits, cache = _fwd(params, cache, b)
+                if eplb_on:
+                    logits, cache, counts = _fwd_counting(params, cache, b)
+                else:
+                    logits, cache = _fwd(params, cache, b)
+                    counts = _no_counts
                 tok2 = sample(logits, sstate, jax.random.fold_in(skey, k))
-                return (cache, tok2, pos + 1), tok2
+                return (cache, tok2, pos + 1), (tok2, counts)
 
-            (cache, _, _), toks = jax.lax.scan(
+            (cache, _, _), (toks, counts_k) = jax.lax.scan(
                 body, (cache, tok0, pos0), jnp.arange(K)
             )
-            return toks, cache
+            return toks, cache, counts_k.sum(axis=0)
 
         self._decode_scan_fn = jax.jit(_decode_scan, donate_argnums=(1,))
 
@@ -273,6 +310,60 @@ class LLMEngine:
         self._first_token_time: Dict[int, float] = {}
         self._arrival: Dict[int, float] = {}
 
+    # ---- EPLB -----------------------------------------------------------------
+
+    def _eplb_accumulate(self, counts) -> None:
+        if self._eplb_on and counts.size:
+            self._eplb_counts += np.asarray(counts)
+
+    def _eplb_rebalance(self) -> None:
+        """Re-pack experts onto ranks by measured load; permute the weight
+        stacks and swap the logical->slot map — output-identity (eplb.py)."""
+        from ..parallel.eplb import balance, permute_layered
+
+        R = self.config.parallel.eplb_ranks or max(self.config.parallel.tp_size, 1)
+        if R <= 1:
+            return
+        L, E = self._eplb_counts.shape
+        # perms[l, i] = logical expert placed at physical slot i of layer l.
+        perms = np.stack(
+            [balance(self._eplb_counts[l], R) for l in range(L)]
+        )
+        # Gather index relative to the CURRENT physical arrangement.
+        cur_slot_of = np.argsort(self._eplb_slot_to_logical, axis=1)
+        idx = np.take_along_axis(cur_slot_of, perms, axis=1)
+
+        old_moe = self.params["layers"]["moe"]
+        new_moe = permute_layered(old_moe, idx)
+        new_map = jnp.asarray(np.argsort(perms, axis=1), jnp.int32)
+        # Keep device layouts: re-pin every permuted leaf to its old sharding.
+        for k in ("w_gate", "w_up", "w_down"):
+            new_moe[k] = jax.tree.map(
+                lambda n, o: jax.device_put(n, o.sharding), new_moe[k], old_moe[k]
+            )
+        new_moe["expert_map"] = jax.device_put(
+            new_map, old_moe["expert_map"].sharding)
+
+        layers = dict(self.params["layers"])
+        layers["moe"] = new_moe
+        self.params = {**self.params, "layers": layers}
+        self._eplb_slot_to_logical = perms
+        self._eplb_counts[:] = 0
+        self.metrics["eplb_rebalances"] = self.metrics.get("eplb_rebalances", 0) + 1
+
+    def eplb_max_rank_load_frac(self) -> float:
+        """Max-rank share of total routed load under the CURRENT placement
+        (1/R = perfectly balanced), from the counts gathered this window."""
+        R = self.config.parallel.eplb_ranks or max(self.config.parallel.tp_size, 1)
+        # Aggregate over layers with each layer's own placement.
+        per_rank = self._eplb_counts.shape[1] // R
+        total = max(self._eplb_counts.sum(), 1)
+        rank_load = np.zeros(R)
+        for l in range(self._eplb_counts.shape[0]):
+            sl = self._eplb_counts[l][self._eplb_slot_to_logical[l]]
+            rank_load += sl.reshape(R, per_rank).sum(axis=1)
+        return float(rank_load.max() / total)
+
     # ---- checkpointing --------------------------------------------------------
 
     def save(self, path: str) -> None:
@@ -308,6 +399,16 @@ class LLMEngine:
                     p, config.model,
                     bits=4 if config.quant.weight_quant == "int4" else 8,
                 )
+            if config.parallel.eplb_interval > 0 and config.model.is_moe:
+                layers = dict(p["layers"])
+                layers["moe"] = {
+                    **layers["moe"],
+                    "expert_map": jnp.tile(
+                        jnp.arange(config.model.num_experts, dtype=jnp.int32),
+                        (config.model.num_layers, 1),
+                    ),
+                }
+                p = {**p, "layers": layers}
             return p
 
         target = jax.eval_shape(build)
@@ -387,7 +488,9 @@ class LLMEngine:
             batch = jax.device_put(batch, shd.batch_shardings(self.mesh))
         sstate = make_sampling_state([it.request for it in group], B_pad)
         self._rng, skey = jax.random.split(self._rng)
-        out_tokens, self.cache = self._step_fn(self.params, self.cache, batch, sstate, skey)
+        out_tokens, self.cache, counts = self._step_fn(
+            self.params, self.cache, batch, sstate, skey)
+        self._eplb_accumulate(counts)
         if self.draft_params is not None:
             # Keep the draft model's KV in lockstep (prefill / fallback path).
             self.draft_cache = self._draft_prefill_fn(
@@ -446,9 +549,10 @@ class LLMEngine:
 
         sstate = make_sampling_state([it.request for it in scheduled], B_pad)
         self._rng, skey = jax.random.split(self._rng)
-        toks, self.cache = self._decode_scan_fn(
+        toks, self.cache, counts = self._decode_scan_fn(
             self.params, self.cache, tok0, pos0, tables, slots_k, sstate, skey
         )
+        self._eplb_accumulate(counts)
         arr = np.asarray(toks)  # [K, B_pad] — the single host sync
         return [[int(t) for t in arr[k, :B]] for k in range(K)]
 
@@ -540,6 +644,11 @@ class LLMEngine:
         scheduled = self.scheduler.schedule()
         if not scheduled:
             return []
+
+        if self._eplb_on:
+            self._eplb_steps += 1
+            if self._eplb_steps % self.config.parallel.eplb_interval == 0:
+                self._eplb_rebalance()
 
         spec_emitted = self._try_spec_step(scheduled)
         if spec_emitted is not None:

@@ -152,38 +152,50 @@ def forward(
     ep_dispatch: str = "psum",
     mla_kv: str = "replicated",
     return_all_logits: bool = False,
-) -> tuple[jax.Array, KVCache]:
+    collect_expert_counts: bool = False,
+):
     """Run the model; returns (last-position logits [B, V], updated cache).
 
     ``mesh``: optional jax.sharding.Mesh — when its "tp" axis is >1 and the
     model is MoE, expert compute runs under shard_map EP (parallel/ep.py);
-    everything else parallelizes declaratively via GSPMD shardings."""
+    everything else parallelizes declaratively via GSPMD shardings.
+
+    ``collect_expert_counts``: also return per-layer router-assignment
+    counts [L, E] (the EPLB load signal, parallel/eplb.py) as a third
+    output.  Counts are of LOGICAL expert ids, pre-``expert_map``."""
     B, T = batch.tokens.shape
     x = params["embed"][batch.tokens]  # [B, T, H]
     layer_step = make_layer_step(
         batch, cfg, params["rope"], block_size=block_size, mesh=mesh,
         ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+        collect_counts=collect_expert_counts,
     )
 
-    x, new_cache = jax.lax.scan(layer_step, x, (params["layers"], cache))
+    x, ys = jax.lax.scan(layer_step, x, (params["layers"], cache))
+    new_cache, counts = ys if collect_expert_counts else (ys, None)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
     if return_all_logits:
         # Per-position logits (speculative-decode verify path).
-        return mm(x, params["lm_head"]).astype(jnp.float32), new_cache
-
-    # Gather each request's last valid position (q_len-1; pad rows read 0).
-    last = jnp.maximum(batch.q_lens - 1, 0)  # [B]
-    x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]  # [B, H]
-    logits = mm(x_last, params["lm_head"]).astype(jnp.float32)
+        logits = mm(x, params["lm_head"]).astype(jnp.float32)
+    else:
+        # Gather each request's last valid position (q_len-1; pad rows read 0).
+        last = jnp.maximum(batch.q_lens - 1, 0)  # [B]
+        x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+        logits = mm(x_last, params["lm_head"]).astype(jnp.float32)
+    if collect_expert_counts:
+        return logits, new_cache, counts
     return logits, new_cache
 
 
 def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
                     block_size: int, mesh=None, ep_dispatch: str = "psum",
-                    mla_kv: str = "replicated"):
+                    mla_kv: str = "replicated", collect_counts: bool = False):
     """The per-layer scan body, reusable by forward() and the pipeline-
-    parallel runner (parallel/pp.py) which scans each stage's layer slice."""
+    parallel runner (parallel/pp.py) which scans each stage's layer slice.
+
+    With ``collect_counts`` the scan ys become (cache_l, counts_l [E]) —
+    router-assignment counts per LOGICAL expert id for EPLB."""
 
     def layer_step(h, xs):
         layer, cache_l = xs
@@ -196,16 +208,27 @@ def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
             a, cache_l = _attn(layer, cache_l, h, batch, cfg, rope, block_size)
         h = h + a
         xn = rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps)
+        counts_l = None
         if cfg.is_moe:
             m = layer["moe"]
+            emap = m.get("expert_map")
             xf = xn.reshape(-1, xn.shape[-1])
+            if collect_counts:
+                # Recompute the (cheap) routing outside the EP dispatch: the
+                # same deterministic math gives global logical-id loads even
+                # when the dispatch below is token-sharded.
+                r = moe_mod.route(xf @ m["gate"], cfg.top_k, cfg.num_groups,
+                                  cfg.topk_group)
+                counts_l = jnp.bincount(
+                    r.ids.reshape(-1), length=cfg.num_experts
+                ).astype(jnp.int32)
             if mesh is not None and mesh.shape.get("tp", 1) > 1:
                 from ..parallel.ep import ep_moe_ffn, ep_moe_ffn_a2a
 
                 if ep_dispatch == "a2a":
-                    f = ep_moe_ffn_a2a(xf, m, cfg, mesh)
+                    f = ep_moe_ffn_a2a(xf, m, cfg, mesh, expert_map=emap)
                 else:
-                    f = ep_moe_ffn(xf, m, cfg, mesh)
+                    f = ep_moe_ffn(xf, m, cfg, mesh, expert_map=emap)
                 if "shared" in m:  # dense shared expert stays under GSPMD
                     wg, wu, wd = m["shared"]
                     f = f + mm(jax.nn.silu(mm(xf, wg)) * mm(xf, wu), wd)
@@ -217,10 +240,15 @@ def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
                     topk_group=cfg.topk_group,
                     shared=m.get("shared"),
                     aux_loss_coeff=cfg.aux_loss_coeff,
+                    expert_map=emap,
                 )
             h = h + f.reshape(h.shape).astype(h.dtype)
         else:
             h = h + swiglu(xn, layer["w_gate"], layer["w_up"], layer["w_down"])
+        if collect_counts:
+            if counts_l is None:
+                counts_l = jnp.zeros((max(cfg.num_experts, 1),), jnp.int32)
+            return h, (cache_l, counts_l)
         return h, cache_l
 
     return layer_step

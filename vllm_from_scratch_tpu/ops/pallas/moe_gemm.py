@@ -123,7 +123,8 @@ def fused_moe_pallas(
     group_sizes: jax.Array,   # [E]
     w_gate, w_up, w_down,     # [E, D, F] / [E, F, D], float or QuantizedLinear
     *,
-    tile_m: int = 128,
+    tile_m: Optional[int] = None,
+    f_block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Fused SwiGLU expert GEMMs; returns y_sorted [M, D] float32."""
@@ -131,6 +132,11 @@ def fused_moe_pallas(
 
     M, D = x_sorted.shape
     E = group_sizes.shape[0]
+    if tile_m is None:
+        # Decode-sized batches (M ~ B*K << E*128) are DMA-bound on the expert
+        # weights; a 128-row tile would burn 4x MXU time on padding rows per
+        # weight fetch.  Small tiles keep one tile per occupied expert.
+        tile_m = 32 if M <= 256 else 128
     quantized = isinstance(w_gate, QuantizedLinear)
 
     wg, sg = _split(w_gate, E)
@@ -155,10 +161,17 @@ def fused_moe_pallas(
     def vmem_est(f):
         return 2 * (2 * D * f + f * D) * itemsize
 
-    budget = 6 * 1024 * 1024
+    # Mosaic's default scoped-VMEM limit is 16 MB; we raise it via
+    # CompilerParams (v5e physically has ~128 MB) so F can stay in few large
+    # blocks — a fragmented F multiplies grid steps and the per-step
+    # pipeline overhead dominates decode (the old 6 MB budget forced F=2816
+    # into 11 blocks -> ~176 steps/layer).
+    budget = 24 * 1024 * 1024
     candidates = [f for f in range(128, F + 1, 128) if F % f == 0]
     fitting = [f for f in candidates if vmem_est(f) <= budget]
-    if fitting:
+    if f_block is not None:
+        f_blk = f_block
+    elif fitting:
         f_blk = max(fitting)
     elif candidates:
         f_blk = min(candidates)  # smallest legal block; may exceed budget
@@ -187,6 +200,7 @@ def fused_moe_pallas(
         out_shape=jax.ShapeDtypeStruct((x_pad.shape[0], D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=resolve_interpret(interpret),
     )(tile_expert, x_pad, wg, wu, wd, sg, su, sd)

@@ -34,24 +34,33 @@ def ep_moe_ffn(
     moe_params: dict,      # per-layer slice: gate [D,E], w_* [E,D,F] sharded on "tp"
     cfg: ModelConfig,
     mesh: Mesh,
+    *,
+    expert_map=None,       # [E] int32 logical->physical slot (EPLB), replicated
 ) -> jax.Array:
     """MoE layer under EP: local grouped GEMM + psum("tp").  Returns [T, D].
 
     The shared expert (if any) is NOT computed here — it is dense and runs
-    under plain GSPMD in the caller.
+    under plain GSPMD in the caller.  ``expert_map`` remaps the router's
+    logical ids onto the load-balanced physical slot layout the expert
+    stacks were permuted into (parallel/eplb.py).
     """
+    import jax.numpy as jnp
+
     tp = mesh.shape["tp"]
     E_local = cfg.num_experts // tp
     assert E_local * tp == cfg.num_experts, "num_experts must divide tp_size"
     wg, wu, wd = moe_params["w_gate"], moe_params["w_up"], moe_params["w_down"]
+    if expert_map is None:
+        expert_map = jnp.arange(cfg.num_experts, dtype=jnp.int32)
 
-    def local_fn(xs, gate, wg, wu, wd):
+    def local_fn(xs, gate, emap, wg, wu, wd):
         offset = jax.lax.axis_index("tp") * E_local
         out, _aux = moe_ffn(
             xs, gate, wg, wu, wd,
             top_k=cfg.top_k, num_groups=cfg.num_groups, topk_group=cfg.topk_group,
             expert_offset=offset, num_global_experts=cfg.num_experts,
             aux_loss_coeff=cfg.aux_loss_coeff,
+            expert_map=emap,
         )
         return jax.lax.psum(out, "tp")
 
@@ -61,6 +70,7 @@ def ep_moe_ffn(
         in_specs=(
             P("dp", None),            # tokens: dp rows, replicated over tp
             P(),                      # router gate: replicated
+            P(),                      # expert_map: replicated
             _expert_spec(wg),         # expert slices (float or int8+scale)
             _expert_spec(wu),
             _expert_spec(wd),
@@ -68,7 +78,7 @@ def ep_moe_ffn(
         out_specs=P("dp", None),
         check_vma=False,
     )
-    return fn(x, moe_params["gate"], wg, wu, wd)
+    return fn(x, moe_params["gate"], expert_map, wg, wu, wd)
 
 
 def ep_moe_ffn_a2a(
@@ -78,6 +88,7 @@ def ep_moe_ffn_a2a(
     mesh: Mesh,
     *,
     capacity_factor: float = 0.0,  # 0 => exact (C = T_local*K, no drops)
+    expert_map=None,               # [E] int32 logical->physical slot (EPLB)
 ) -> jax.Array:
     """Token-sharded EP with all_to_all dispatch (the bandwidth-optimal form).
 
@@ -117,13 +128,16 @@ def ep_moe_ffn_a2a(
 
         x = _jnp.pad(x, ((0, pad), (0, 0)))
 
-    def local_fn(xs, gate, wg, wu, wd):
+    if expert_map is None:
+        expert_map = jnp.arange(E, dtype=jnp.int32)
+
+    def local_fn(xs, gate, emap, wg, wu, wd):
         T_l, D = xs.shape
         M = T_l * K
         C = M if capacity_factor <= 0 else max(1, -(-int(M * capacity_factor) // n))
 
         r = route(xs @ gate, K, cfg.num_groups, cfg.topk_group)
-        flat_ids = r.ids.reshape(M)            # global expert ids
+        flat_ids = emap[r.ids.reshape(M)]      # global PHYSICAL expert slots
         flat_w = r.weights.reshape(M)
         token_idx = jnp.arange(M, dtype=jnp.int32) // K
         dest = flat_ids // E_local             # owner rank per assignment
@@ -173,6 +187,7 @@ def ep_moe_ffn_a2a(
         in_specs=(
             P("tp", None),             # tokens SHARDED over tp
             P(),
+            P(),                       # expert_map: replicated
             _expert_spec(wg),
             _expert_spec(wu),
             _expert_spec(wd),
@@ -180,5 +195,5 @@ def ep_moe_ffn_a2a(
         out_specs=P("tp", None),
         check_vma=False,
     )
-    out = fn(x, moe_params["gate"], wg, wu, wd)
+    out = fn(x, moe_params["gate"], expert_map, wg, wu, wd)
     return out[:T0] if pad else out

@@ -90,6 +90,30 @@ def apply_permutation(moe_params: Dict, perm: np.ndarray) -> Tuple[Dict, jnp.nda
     return out, expert_map
 
 
+def permute_layered(moe_params: Dict, idx: np.ndarray) -> Dict:
+    """Per-layer physical re-arrangement of layer-stacked expert weights.
+
+    ``idx`` [L, E]: new physical slot (l, i) receives the weights currently
+    at physical slot (l, idx[l, i]).  Applies to the [L, E, ...] stacks
+    (w_gate/w_up/w_down, float or QuantizedLinear); gate/shared/expert_map
+    entries are left untouched (the caller owns the logical->slot map).
+    """
+    from ..models.layers import QuantizedLinear
+
+    idx = jnp.asarray(idx, jnp.int32)
+
+    def take(w):
+        if isinstance(w, QuantizedLinear):
+            return QuantizedLinear(take(w.q), take(w.scale))
+        expand = idx.reshape(idx.shape + (1,) * (w.ndim - 2))
+        return jnp.take_along_axis(w, expand, axis=1)
+
+    out = dict(moe_params)
+    for k in ("w_gate", "w_up", "w_down"):
+        out[k] = take(moe_params[k])
+    return out
+
+
 def max_rank_load(loads: np.ndarray, perm: np.ndarray, num_ranks: int) -> float:
     E = len(perm)
     per_rank = E // num_ranks

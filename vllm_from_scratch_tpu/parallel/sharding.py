@@ -56,7 +56,8 @@ def _ns(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
-def param_shardings(cfg: ModelConfig, mesh: Mesh, mla_kv: str = "replicated") -> dict:
+def param_shardings(cfg: ModelConfig, mesh: Mesh, mla_kv: str = "replicated",
+                    with_expert_map: bool = False) -> dict:
     """NamedSharding pytree matching models.transformer.init_params.
 
     Megatron TP layout; every per-layer array keeps its leading [L] axis
@@ -97,6 +98,8 @@ def param_shardings(cfg: ModelConfig, mesh: Mesh, mla_kv: str = "replicated") ->
             "w_up": _ns(mesh, None, "tp", None, None),
             "w_down": _ns(mesh, None, "tp", None, None),
         }
+        if with_expert_map:
+            layers["moe"]["expert_map"] = rep     # [L, E] EPLB logical->slot
         if cfg.num_shared_experts > 0:
             layers["moe"]["shared"] = (
                 _ns(mesh, None, None, "tp"),      # [L, D, Fs] col-parallel
@@ -194,7 +197,10 @@ def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh,
         # and both q and scale keep the leading [L] stage axis — no rank
         # mismatch possible.
         return jax.device_put(params, pp_param_shardings(params, mesh))
-    specs = _quant_aware(param_shardings(cfg, mesh, mla_kv), params)
+    with_emap = cfg.is_moe and "expert_map" in params["layers"].get("moe", {})
+    specs = _quant_aware(
+        param_shardings(cfg, mesh, mla_kv, with_expert_map=with_emap), params
+    )
     return jax.device_put(params, specs)
 
 
