@@ -225,3 +225,173 @@ class TestRouter:
                 break
         assert out == list(cold.values())[0]
         assert w.engine.kv_mgr.hit_rate > 0    # served from the local prefix
+
+
+class TestSchedulerNativeConnector:
+    """The Scheduler itself consults the KV-pool connector at admission
+    (VERDICT r1 #5; ref: global_kv_pool.py:375-440): fresh requests with a
+    published remote prefix are parked in WAITING_FOR_REMOTE_KVS while the
+    pull is in flight — other traffic keeps flowing — then admit with the
+    prefix local, all through the plain ``engine.add_request / step`` API."""
+
+    class _GatedBackend:
+        """Transfer completes only when the test releases the gate."""
+
+        def __init__(self):
+            import threading
+
+            self.gate = threading.Event()
+
+        def transfer(self, req):
+            from vllm_from_scratch_tpu.distributed.metadata import KV_BLOCK_BYTES
+            from vllm_from_scratch_tpu.distributed.transfer import TransferResult
+
+            assert self.gate.wait(20), "test gate never released"
+            return TransferResult(
+                req.transfer_id, True,
+                len(req.block_hashes) * KV_BLOCK_BYTES, 0.0)
+
+    def _pool_with_published_prompt(self):
+        meta, store = GlobalMetadataServer(), PageStore()
+        wa = PDWorker(make_engine(),
+                      KVConnector(0, meta, TransferEngine(0), 16), store)
+        wa.generate([PROMPT], GREEDY)  # computes + publishes
+        return meta, store
+
+    def test_holds_in_waiting_for_remote_kvs_then_admits(self):
+        from vllm_from_scratch_tpu.core.request import RequestStatus
+
+        meta, store = self._pool_with_published_prompt()
+        gated = self._GatedBackend()
+        wb = PDWorker(
+            make_engine(),
+            KVConnector(1, meta, TransferEngine(1, backend=gated), 16),
+            store,
+        ).attach()
+        eng = wb.engine
+
+        cold = make_engine().generate([PROMPT], GREEDY)
+        rid = eng.add_request(PROMPT, GREEDY)
+        local_rid = eng.add_request(list(range(90, 99)), GREEDY)
+        eng.step()
+        # The remote request is parked; the local one is being served.
+        assert eng.scheduler.requests[rid].status is RequestStatus.WAITING_FOR_REMOTE_KVS
+        assert eng.scheduler.requests[local_rid].status is RequestStatus.RUNNING
+        while not eng.scheduler.requests[local_rid].is_finished:
+            eng.step()
+        assert eng.scheduler.requests[rid].status is RequestStatus.WAITING_FOR_REMOTE_KVS
+
+        gated.gate.set()  # transfer lands
+        import time as _t
+
+        out = []
+        for _ in range(200):
+            got = eng.step()
+            if not got:
+                _t.sleep(0.005)  # let the fetch thread land the pull
+            out += [t for r, t in got if r == rid]
+            if eng.scheduler.requests[rid].is_finished:
+                break
+        assert out == cold[0]
+        req = eng.scheduler.requests[rid]
+        assert req.num_remote_tokens >= 32          # 2 of 3 blocks pulled
+        assert eng.kv_mgr.hit_rate > 0              # admission hit the prefix
+
+    def test_no_remote_match_admits_immediately(self):
+        from vllm_from_scratch_tpu.core.request import RequestStatus
+
+        meta, store = GlobalMetadataServer(), PageStore()
+        wb = PDWorker(make_engine(),
+                      KVConnector(1, meta, TransferEngine(1), 16),
+                      store).attach()
+        rid = wb.engine.add_request(PROMPT, GREEDY)
+        wb.engine.step()
+        assert wb.engine.scheduler.requests[rid].status is RequestStatus.RUNNING
+
+
+class TestStreamingPublish:
+    """Layerwise streaming publish during chunked prefill (VERDICT r1 #5;
+    the SendingThread pattern, BLOG_PART2B_V2.md:1593-1722): prompt blocks
+    reach the pool the moment their chunk computes — a decode node's TTFT
+    no longer waits for the prefill node's whole request to finish."""
+
+    LONG_PROMPT = list(range(1, 65))  # 4 full blocks
+
+    def _prefill_worker(self, streaming: bool):
+        meta, store = GlobalMetadataServer(), PageStore()
+        eng = LLMEngine(EngineConfig(
+            model=ModelConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                              num_heads=4, num_kv_heads=4, max_position=256,
+                              intermediate_size=64),
+            cache=CacheConfig(block_size=16, num_blocks=64, kv_quant="int8"),
+            # small budget -> the 64-token prompt prefills over 4 chunks
+            scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=16),
+        ))
+        wp = PDWorker(eng, KVConnector(0, meta, TransferEngine(0), 16), store)
+        if streaming:
+            wp.enable_streaming_publish()
+        return wp, meta, store
+
+    def _run_prefill_only(self, wp):
+        """Step until the first token (prefill just completed); request keeps
+        decoding afterwards (max_new_tokens not reached)."""
+        sp = SamplingParams(max_new_tokens=32, temperature=0.0, ignore_eos=True)
+        wp.engine.add_request(self.LONG_PROMPT, sp)
+        for _ in range(50):
+            if wp.engine.step():
+                return
+        raise AssertionError("prefill never completed")
+
+    def test_blocks_published_mid_request(self):
+        wp, meta, store = self._prefill_worker(streaming=True)
+        self._run_prefill_only(wp)
+        assert wp.engine.has_unfinished          # still decoding
+        assert wp.flush_publishes()
+        assert meta.total_blocks == 4            # all prompt blocks pooled
+        assert len(store) == 4
+
+    def test_end_publish_has_nothing_at_same_point(self):
+        wp, meta, store = self._prefill_worker(streaming=False)
+        self._run_prefill_only(wp)
+        assert meta.total_blocks == 0 and len(store) == 0
+
+    def test_decode_node_ttft_beats_end_publish(self):
+        """While the prefill node is still mid-request, a decode node can
+        already admit with the streamed prefix: its own prefill work is one
+        final chunk instead of the whole prompt."""
+        wp, meta, store = self._prefill_worker(streaming=True)
+        self._run_prefill_only(wp)
+        wp.flush_publishes()
+
+        wd = PDWorker(make_engine(),
+                      KVConnector(1, meta, TransferEngine(1), 16),
+                      store).attach()
+        cold = make_engine().generate([self.LONG_PROMPT], GREEDY)
+        import time as _t
+
+        rid = wd.engine.add_request(self.LONG_PROMPT, GREEDY)
+        out = []
+        for s in range(200):
+            emitted = wd.engine.step()
+            if not emitted:
+                _t.sleep(0.005)  # remote pull in flight
+            out += [t for r, t in emitted if r == rid]
+            if wd.engine.scheduler.requests[rid].is_finished:
+                break
+        assert out == cold[0]
+        # Prefill at the decode node = last block + final token only.
+        assert wd.engine.metrics["num_prefill_tokens"] <= 17
+        # vs end-publish-only: nothing pooled -> full 64-token local prefill.
+        wp2, meta2, store2 = self._prefill_worker(streaming=False)
+        self._run_prefill_only(wp2)
+        wd2 = PDWorker(make_engine(),
+                       KVConnector(1, meta2, TransferEngine(1), 16),
+                       store2).attach()
+        rid2 = wd2.engine.add_request(self.LONG_PROMPT, GREEDY)
+        for _ in range(200):
+            emitted = wd2.engine.step()
+            if not emitted:
+                _t.sleep(0.005)
+            if [t for r, t in emitted if r == rid2]:
+                break
+        assert wd2.engine.metrics["num_prefill_tokens"] >= 64

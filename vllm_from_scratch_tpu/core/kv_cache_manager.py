@@ -55,6 +55,11 @@ class KVCacheManager:
         self.enable_caching = enable_caching
         self.extra_key = extra_key
         self.pool = _make_pool(num_blocks, enable_caching, pool_impl)
+        # Streaming-publish hook (distributed/pd.py): called as
+        # (request, first_block_idx, block_ids, block_hashes) whenever fresh
+        # full blocks enter the prefix cache — i.e. the moment a prefill
+        # chunk completes a block, not at end of request.
+        self.on_cache_blocks = None
 
         # prefix-cache observability (BASELINE north-star metric).
         self.query_blocks = 0
@@ -164,13 +169,20 @@ class KVCacheManager:
             len(request.block_ids),
         )
         if num_full > request.num_cached_blocks:
+            start = request.num_cached_blocks
             self.pool.cache_full_blocks(
                 request.block_ids,
                 request.block_hashes,
-                request.num_cached_blocks,
+                start,
                 num_full,
             )
             request.num_cached_blocks = num_full
+            if self.on_cache_blocks is not None:
+                self.on_cache_blocks(
+                    request, start,
+                    request.block_ids[start:num_full],
+                    request.block_hashes[start:num_full],
+                )
 
     # ---- slot mapping --------------------------------------------------------
 

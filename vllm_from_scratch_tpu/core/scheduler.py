@@ -59,13 +59,23 @@ class SchedulerStats:
 
 
 class Scheduler:
-    def __init__(self, config: SchedulerConfig, kv_mgr: KVCacheManager):
+    def __init__(self, config: SchedulerConfig, kv_mgr: KVCacheManager,
+                 connector=None):
         self.config = config
         self.kv = kv_mgr
         self.waiting: List[Request] = []
         self.running: List[Request] = []
         self.requests: Dict[int, Request] = {}
         self.stats = SchedulerStats()
+        # Optional KV-pool connector (the vLLM KVConnector integration the
+        # reference documents at global_kv_pool.py:375-440): admission asks
+        # it for a remote prefix; while the pull is in flight the request
+        # sits in WAITING_FOR_REMOTE_KVS and other traffic keeps flowing.
+        # Interface: ``start_pull(request) -> bool`` (True = async pull
+        # started), ``poll(request) -> Optional[int]`` (None = still in
+        # flight; else the pull landed — tokens now in the local cache).
+        self.connector = connector
+        self._pull_started: set = set()
 
     # ---- queue ops ---------------------------------------------------------
 
@@ -170,6 +180,13 @@ class Scheduler:
                 if thr and remaining > thr:
                     long_partials += 1
 
+        # Phase 0: requests whose remote-KV pull landed rejoin admission.
+        if self.connector is not None:
+            for req in self.waiting:
+                if req.status is RequestStatus.WAITING_FOR_REMOTE_KVS:
+                    if self.connector.poll(req) is not None:
+                        req.status = RequestStatus.WAITING
+
         # Phase 1: running decodes — one token each.
         for req in list(self.running):
             if req.is_prefill or budget <= 0 or req.status is not RequestStatus.RUNNING:
@@ -215,6 +232,18 @@ class Scheduler:
         while (idx < len(self.waiting) and budget > 0
                and len(self.running) < self.config.max_num_seqs):
             req = self.waiting[idx]
+            if req.status is RequestStatus.WAITING_FOR_REMOTE_KVS:
+                idx += 1  # pull in flight; shorter requests may pass it
+                continue
+            # First sight of a fresh request: ask the global pool (async).
+            if (self.connector is not None
+                    and req.num_computed_tokens == 0 and not req.block_ids
+                    and req.req_id not in self._pull_started):
+                self._pull_started.add(req.req_id)
+                if self.connector.start_pull(req):
+                    req.status = RequestStatus.WAITING_FOR_REMOTE_KVS
+                    idx += 1
+                    continue
             # Prefix-cache lookup on first computation only.
             hits: List[int] = []
             if req.num_computed_tokens == 0 and not req.block_ids:

@@ -97,6 +97,9 @@ class PDWorker:
         self._next = 0
         self._alock = threading.Lock()
         self._pending: List[dict] = []  # async submits awaiting remote KV
+        self._sched_pulls: Dict[int, dict] = {}  # req_id -> handle (scheduler-native)
+        self._pub_thread = None
+        self._pub_q = None
 
     # ---- publish (prefill side / request_finished) --------------------------
 
@@ -139,7 +142,12 @@ class PDWorker:
         if load_async and not self.connector.wait_for_kv(rid, timeout=timeout):
             return 0, [], []  # transfer failed/timed out -> recompute locally
         n_blocks = n_tokens // bs
+        new_hashes, new_pages = self._collect_pages(hashes, n_blocks)
+        return n_blocks * bs, new_hashes, new_pages
 
+    def _collect_pages(self, hashes, n_blocks: int):
+        """Pages for the first n_blocks hashes not already locally cached."""
+        eng = self.engine
         new_hashes, new_pages = [], []
         for h in hashes[:n_blocks]:
             if eng.kv_mgr.pool.get_cached_block(h) is not None:
@@ -149,7 +157,7 @@ class PDWorker:
                 break  # chain break: stop at the first unfetchable block
             new_hashes.append(h)
             new_pages.append(pages)
-        return n_blocks * bs, new_hashes, new_pages
+        return new_hashes, new_pages
 
     def _install_prefix(self, new_hashes, new_pages) -> None:
         """Cache-plane half of a pull — MUST run on the serving thread (the
@@ -219,12 +227,143 @@ class PDWorker:
     @property
     def num_waiting_remote(self) -> int:
         with self._alock:
-            return len(self._pending)
+            return len(self._pending) + len(self._sched_pulls)
 
     def step(self):
         """One serving iteration: admit landed pulls, then engine.step()."""
         self.poll_admissions()
         return self.engine.step()
+
+    # ---- scheduler-native connector (core/scheduler.py Phase 0/3) -------------
+
+    def attach(self) -> "PDWorker":
+        """Make the engine's own Scheduler consult this worker at admission:
+        new requests with a published remote prefix are held in
+        WAITING_FOR_REMOTE_KVS (the enum finally drives the scheduler — the
+        vLLM KVConnector integration, global_kv_pool.py:375-440) while the
+        pull runs, then admit with the prefix already local."""
+        self.engine.scheduler.connector = self
+        return self
+
+    def start_pull(self, request) -> bool:
+        """Scheduler admission hook.  Synchronously queries the metadata
+        server; if a remote prefix exists, kicks off the transfer + page
+        fetch in a background thread and returns True (the scheduler parks
+        the request in WAITING_FOR_REMOTE_KVS)."""
+        eng = self.engine
+        bs = eng.block_size
+        hashes = compute_block_hashes(
+            list(request.prompt_token_ids), bs, eng.kv_mgr.extra_key)
+        if not hashes:
+            return False
+        rid = f"sched-pull-{request.req_id}"
+        n_tokens, load_async = self.connector.get_num_new_matched_tokens(rid, hashes)
+        # Anything already local (or nothing matched): admit now.
+        need_fetch = any(
+            eng.kv_mgr.pool.get_cached_block(h) is None
+            for h in hashes[: n_tokens // bs]
+        ) if n_tokens else False
+        if not need_fetch:
+            if load_async:
+                self.connector.wait_for_kv(rid, timeout=0.0)  # drop bookkeeping
+            return False
+        handle = {"ready": False, "fetched": ([], [])}
+        self._sched_pulls[request.req_id] = handle
+
+        def _work():
+            try:
+                ok = (not load_async) or self.connector.wait_for_kv(rid)
+                if ok:
+                    handle["fetched"] = self._collect_pages(
+                        hashes, n_tokens // bs)
+            except Exception:
+                pass
+            finally:
+                handle["ready"] = True
+
+        threading.Thread(target=_work, daemon=True).start()
+        return True
+
+    def poll(self, request):
+        """Scheduler Phase-0 hook: None while the pull is in flight; once it
+        lands, install the pages into the local prefix cache (we are ON the
+        serving thread here) and return the token count made local."""
+        handle = self._sched_pulls.get(request.req_id)
+        if handle is None:
+            return 0
+        if not handle["ready"]:
+            return None
+        del self._sched_pulls[request.req_id]
+        hs, pgs = handle["fetched"]
+        self._install_prefix(hs, pgs)
+        request.num_remote_tokens = len(hs) * self.engine.block_size
+        return request.num_remote_tokens
+
+    # ---- streaming layerwise publish (BLOG_PART2B_V2.md:1593-1722) ------------
+
+    def enable_streaming_publish(self) -> "PDWorker":
+        """Publish blocks DURING chunked prefill instead of at request end:
+        the moment a prefill chunk completes full blocks (cache_blocks), the
+        serving thread extracts their pages (device gather, async dispatch)
+        and a background publisher streams them through a per-block
+        ``LayerwiseKVPipeline`` — layer l's granule rides the wire while
+        l+1.. are still being staged, the SendingThread pattern.  Metadata
+        publishes when the last layer lands, so a decode node's admission
+        can hit the prefix while this node is still decoding."""
+        import queue as _q
+
+        from .transfer import LayerwiseKVPipeline
+
+        if self._pub_thread is not None:
+            return self
+        self._pub_q: "_q.Queue" = _q.Queue()
+        num_layers = self.engine.config.model.num_layers
+
+        def _publisher():
+            while True:
+                item = self._pub_q.get()
+                if item is None:
+                    return
+                h, pages = item
+                pipe = LayerwiseKVPipeline(
+                    self.connector.engine, self.connector.node_id, num_layers)
+                per_block_bytes = max(
+                    1, sum(x.nbytes for x in jax.tree.leaves(pages)) // num_layers)
+                for l in range(num_layers):
+                    granule = jax.tree.map(lambda x: x[l : l + 1], pages)
+                    pipe.send_layer(l, granule, [h],
+                                    bytes_per_block=per_block_bytes)
+                results = pipe.wait_all()
+                if all(r is not None and r.success for r in results):
+                    self.store.put(self.connector._key(h), pages)
+                    self.connector.publish_kv([h])
+                self._pub_q.task_done()
+
+        def _on_cached(request, start, bids, hashes):
+            # Prompt blocks only — the PD handoff payload.  (Blocks containing
+            # generated tokens are still published at request finish.)
+            bs = self.engine.block_size
+            for i, (bid, h) in enumerate(zip(bids, hashes)):
+                if (start + i + 1) * bs <= request.num_prompt_tokens:
+                    self._pub_q.put((h, extract_kv_pages(self.engine, [bid])))
+
+        self.engine.kv_mgr.on_cache_blocks = _on_cached
+        self._pub_thread = threading.Thread(target=_publisher, daemon=True)
+        self._pub_thread.start()
+        return self
+
+    def flush_publishes(self, timeout: float = 10.0) -> bool:
+        """Block until every queued streaming publish has landed."""
+        import time as _t
+
+        if self._pub_q is None:
+            return True
+        deadline = _t.monotonic() + timeout
+        while _t.monotonic() < deadline:
+            if self._pub_q.unfinished_tasks == 0:
+                return True
+            _t.sleep(0.002)
+        return False
 
     # ---- serve ---------------------------------------------------------------
 
