@@ -256,6 +256,69 @@ class TestEPAllToAll:
         assert list(out1.values()) == list(out2.values())
 
 
+class TestContextParallelServing:
+    """Engine-integrated CP (VERDICT r1 #3; ref BLOG_PART3_V2.md:709-768):
+    the latent cache shards over a "cp" mesh axis with virtual blocks of
+    block_size*cp; chunked prefill (PCP) and decode (DCP) flash-merge
+    per-rank partials.  Contract: cp engines reproduce single-device greedy
+    outputs, and serve prompts beyond one chip's KV budget."""
+
+    def _mla_cfg(self, parallel=ParallelConfig(), num_blocks=64,
+                 kv_quant="none"):
+        return EngineConfig(
+            model=ModelConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                              num_heads=4, num_kv_heads=4, max_position=512,
+                              intermediate_size=64,
+                              kv_lora_rank=16, qk_rope_head_dim=8,
+                              qk_nope_head_dim=16, v_head_dim=16),
+            cache=CacheConfig(block_size=16, num_blocks=num_blocks,
+                              kv_quant=kv_quant),
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=128),
+            parallel=parallel,
+        )
+
+    def test_cp4_matches_single_device(self):
+        prompts = [list(range(1, 101)), [5, 6, 7]]
+        base = LLMEngine(self._mla_cfg()).generate(prompts, GREEDY)
+        cp4 = LLMEngine(self._mla_cfg(ParallelConfig(cp_size=4))).generate(
+            prompts, GREEDY)
+        assert list(base.values()) == list(cp4.values())
+
+    def test_cp4_int8_latents_match(self):
+        """Per-token row quantization is rank-independent, so even the INT8
+        latent path reproduces single-device outputs."""
+        prompts = [list(range(1, 80))]
+        base = LLMEngine(self._mla_cfg(kv_quant="int8")).generate(
+            prompts, GREEDY)
+        cp4 = LLMEngine(self._mla_cfg(ParallelConfig(cp_size=4),
+                                      kv_quant="int8")).generate(
+            prompts, GREEDY)
+        assert list(base.values()) == list(cp4.values())
+
+    def test_cp_serves_beyond_single_chip_budget(self):
+        """num_blocks is per-rank: a cp=4 engine with 8x16-token blocks per
+        chip (112 usable tokens) serves a 200-token prompt a single chip of
+        the same size cannot hold."""
+        prompt = list(range(1, 201))
+        sp = SamplingParams(max_new_tokens=6, temperature=0.0, ignore_eos=True)
+        cp = LLMEngine(self._mla_cfg(ParallelConfig(cp_size=4), num_blocks=8))
+        assert cp.block_size == 64  # cp_virtual_block_size
+        oracle = LLMEngine(self._mla_cfg(num_blocks=64))
+        out = cp.generate([prompt], sp)
+        assert list(out.values()) == list(oracle.generate([prompt], sp).values())
+
+    def test_cp_decode_steps_scan(self):
+        """DCP inside the multi-step decode scan (the serving hot path)."""
+        cfg = self._mla_cfg(ParallelConfig(cp_size=4))
+        cfg = cfg.replace(scheduler=SchedulerConfig(
+            max_num_seqs=4, max_num_batched_tokens=128, decode_steps=4))
+        prompts = [list(range(1, 50))]
+        base = LLMEngine(self._mla_cfg()).generate(prompts, GREEDY)
+        out = LLMEngine(cfg).generate(prompts, GREEDY)
+        assert list(out.values()) == list(base.values())
+
+
 class TestEPLB:
     """Expert-parallel load balancing wired into the EP path and the engine
     (VERDICT r1 #4; ref: BLOG_PART3_V2.md:185-187).  Contract: permuted

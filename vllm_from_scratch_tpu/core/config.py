@@ -102,6 +102,12 @@ class ParallelConfig:
     ep_size: int = 1
     pp_size: int = 1  # reserved: pool keys carry pp_rank from day 1 (BLOG_PART2B_V2.md:1259)
     sp_size: int = 1
+    # Context parallelism for MLA long context (BLOG_PART3_V2.md:709-768;
+    # parallel/cp_serving.py): the latent cache's slots shard over a "cp"
+    # mesh axis with virtual blocks of block_size*cp tokens — KV bytes and
+    # attention FLOPs per chip both divide by cp, for prefill (PCP) and
+    # decode (DCP) alike.
+    cp_size: int = 1
     # Expert-parallel dispatch: "psum" = replicated activations + psum (low
     # latency, small batches); "a2a" = token-sharded all_to_all dispatch
     # (bandwidth-optimal, the NCCL All2All pattern, BLOG_PART3_V2.md:262-287).
@@ -120,7 +126,7 @@ class ParallelConfig:
 
     @property
     def world_size(self) -> int:
-        return self.dp_size * self.tp_size * self.pp_size
+        return self.dp_size * self.tp_size * self.pp_size * self.cp_size
 
 
 @dataclass(frozen=True)

@@ -64,10 +64,21 @@ class LLMEngine:
     def __init__(self, config: EngineConfig, params: Optional[dict] = None):
         self.config = config
         mcfg, ccfg = config.model, config.cache
-        self.block_size = ccfg.block_size
+        # Context parallelism (parallel/cp_serving.py): host-side block
+        # bookkeeping uses VIRTUAL blocks of block_size * cp tokens — one
+        # virtual id addresses one physical block on every cp rank
+        # (cp_virtual_block_size, BLOG_PART3_V2.md:709-768).  num_blocks is
+        # per-rank, so capacity scales cp x.
+        cp = config.parallel.cp_size
+        if cp > 1:
+            assert mcfg.is_mla, (
+                "cp_size > 1 serves the MLA latent cache only "
+                "(BLOG_PART3_V2.md:709-768)"
+            )
+        self.block_size = ccfg.block_size * cp  # virtual (host-side slots)
 
         self.kv_mgr = KVCacheManager(
-            ccfg.num_blocks, ccfg.block_size, ccfg.enable_prefix_caching
+            ccfg.num_blocks, self.block_size, ccfg.enable_prefix_caching
         )
         self.scheduler = Scheduler(config.scheduler, self.kv_mgr)
 
@@ -75,7 +86,7 @@ class LLMEngine:
         pkey, self._rng = jax.random.split(key)
         self.params = params if params is not None else transformer.init_params(pkey, mcfg)
         self.cache = transformer.init_cache(
-            mcfg, ccfg.num_blocks, ccfg.block_size, ccfg.kv_quant
+            mcfg, ccfg.num_blocks * cp, ccfg.block_size, ccfg.kv_quant
         )
 
         # EPLB (parallel/eplb.py): identity expert_map joins the param tree
@@ -119,7 +130,7 @@ class LLMEngine:
 
         # Widest possible block table row (bucketed down per call).
         self.max_blocks_per_seq = min(
-            cdiv(mcfg.max_position, ccfg.block_size), ccfg.num_blocks
+            cdiv(mcfg.max_position, self.block_size), ccfg.num_blocks
         )
 
         mesh = self.mesh

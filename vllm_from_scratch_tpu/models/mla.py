@@ -79,8 +79,12 @@ def mla_attention_block(
     *,
     block_size: int,
     allow_pallas: bool = True,
+    mesh=None,
 ) -> Tuple[jax.Array, MLACache]:
-    """Pre-norm MLA attention with paged latent KV read/write."""
+    """Pre-norm MLA attention with paged latent KV read/write.
+
+    When ``mesh`` carries a "cp" axis the write+attend runs context-parallel
+    over the cp-sharded cache (parallel/cp_serving.py — PCP/DCP)."""
     B, T, _ = h.shape
     nh = cfg.num_heads
     dn, dr, dv, r, _ = mla_dims(cfg)
@@ -99,6 +103,20 @@ def mla_attention_block(
     k_rope = ckr[..., r:][:, :, None, :]                      # [B, T, 1, dr]
     k_rope = apply_rope(k_rope, batch.positions, rope_table)[:, :, 0]
 
+    w_uk, w_uv = split_kv_b(layer["kv_b"], nh, dn, dv)
+    if mesh is not None and mesh.shape.get("cp", 1) > 1:
+        from ..parallel.cp_serving import cp_mla_attention
+
+        out, cache_l = cp_mla_attention(
+            q_nope, q_rope,
+            c_kv.reshape(B * T, r), k_rope.reshape(B * T, dr),
+            cache_l, batch.slots.reshape(B * T),
+            batch.block_tables, batch.ctx_lens, batch.q_lens,
+            w_uk, w_uv, mesh,
+            block_size=block_size, sm_scale=(dn + dr) ** -0.5,
+        )
+        return mm(out.astype(h.dtype).reshape(B, T, nh * dv), layer["wo"]), cache_l
+
     cache_l = write_mla_cache(
         cache_l,
         c_kv.reshape(B * T, r),
@@ -106,7 +124,6 @@ def mla_attention_block(
         batch.slots.reshape(B * T),
     )
 
-    w_uk, w_uv = split_kv_b(layer["kv_b"], nh, dn, dv)
     out = mla_paged_attention(
         q_nope, q_rope, cache_l, batch.block_tables, batch.ctx_lens, batch.q_lens,
         w_uk, w_uv, block_size=block_size, sm_scale=(dn + dr) ** -0.5,

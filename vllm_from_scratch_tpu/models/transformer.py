@@ -202,7 +202,7 @@ def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
         if cfg.is_mla:
             a, cache_l = mla_mod.mla_attention_block(
                 layer, cache_l, h, batch, cfg, rope, block_size=block_size,
-                allow_pallas=(mla_kv != "tpla"),
+                allow_pallas=(mla_kv != "tpla"), mesh=mesh,
             )
         else:
             a, cache_l = _attn(layer, cache_l, h, batch, cfg, rope, block_size)

@@ -37,6 +37,14 @@ from ..core.config import ModelConfig, ParallelConfig
 
 def make_mesh(parallel: ParallelConfig, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
+    if parallel.cp_size > 1:
+        # Context parallelism (parallel/cp_serving.py): a 1-D "cp" mesh.
+        assert parallel.dp_size == parallel.tp_size == parallel.pp_size == 1, (
+            "cp_size > 1 requires dp_size == tp_size == pp_size == 1"
+        )
+        n = parallel.cp_size
+        assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+        return Mesh(np.asarray(devices[:n]).reshape(n), ("cp",))
     if parallel.pp_size > 1:
         # Pipeline stages: a 1-D "pp" mesh (parallel/pp.py); PP currently
         # composes with neither GSPMD TP nor DP rows (single-axis schedule).
@@ -197,6 +205,10 @@ def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh,
         # and both q and scale keep the leading [L] stage axis — no rank
         # mismatch possible.
         return jax.device_put(params, pp_param_shardings(params, mesh))
+    if "cp" in mesh.shape:
+        # CP shards only the KV cache; params replicate on every cp rank.
+        rep = _ns(mesh)
+        return jax.device_put(params, jax.tree.map(lambda _: rep, params))
     with_emap = cfg.is_moe and "expert_map" in params["layers"].get("moe", {})
     specs = _quant_aware(
         param_shardings(cfg, mesh, mla_kv, with_expert_map=with_emap), params
@@ -209,4 +221,14 @@ def shard_cache(cache, cfg: ModelConfig, mesh: Mesh,
     if "pp" in mesh.shape:
         stage = _ns(mesh, "pp")
         return jax.device_put(cache, jax.tree.map(lambda _: stage, cache))
+    if "cp" in mesh.shape:
+        from ..ops.mla_attention import MLACache
+
+        assert cfg.is_mla, "cp serving requires an MLA model"
+        # [L, slots, ...]: the SLOT axis shards over cp (virtual blocks,
+        # parallel/cp_serving.py).
+        return jax.device_put(cache, MLACache(
+            c=_ns(mesh, None, "cp", None), kr=_ns(mesh, None, "cp", None),
+            c_scale=_ns(mesh, None, "cp"), kr_scale=_ns(mesh, None, "cp"),
+        ))
     return jax.device_put(cache, cache_shardings(cfg, mesh, mla_kv))
