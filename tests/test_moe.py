@@ -373,3 +373,55 @@ class TestFusedMoEKernel:
                                       np.asarray(x))
         # tiles: expert0 pads to 4 (tile 0), expert2 pads to 8 (tiles 1-2)
         assert tile_expert[0] == 0 and tile_expert[1] == 2 and tile_expert[2] == 2
+
+
+class TestMosaicConstraintShapes:
+    """Regression cases for Mosaic tiling constraints (VERDICT r1 #2; the
+    F-block 128-divisibility bug of commit 3800cdd was caught by a benchmark,
+    not a test).  Interpret-mode on CPU; REAL Mosaic when the suite runs with
+    VFS_TPU_REAL_DEVICE=1 (interpret=None resolves by backend)."""
+
+    def _check(self, E, D, F, M, **kw):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vllm_from_scratch_tpu.models.layers import (
+            dequantize_linear, quantize_linear,
+        )
+        from vllm_from_scratch_tpu.models.moe import (
+            grouped_expert_ffn, init_moe_params,
+        )
+        from vllm_from_scratch_tpu.ops.pallas.moe_gemm import fused_moe_pallas
+
+        p = init_moe_params(jax.random.PRNGKey(0), D, F, E)
+        q = {k: quantize_linear(p[k]) for k in ("w_gate", "w_up", "w_down")}
+        x = jax.random.normal(jax.random.PRNGKey(1), (M, D), jnp.float32)
+        per = [M // E] * E
+        per[0] += M - sum(per)
+        gs = jnp.asarray(per, jnp.int32)
+        ref = grouped_expert_ffn(
+            x, gs,
+            dequantize_linear(q["w_gate"], jnp.float32),
+            dequantize_linear(q["w_up"], jnp.float32),
+            dequantize_linear(q["w_down"], jnp.float32),
+        )
+        out = fused_moe_pallas(x, gs, q["w_gate"], q["w_up"], q["w_down"], **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_odd_f_no_128_divisor(self):
+        """F=320: no 128-multiple divides it -> full-dim F block (legal)."""
+        self._check(E=4, D=256, F=320, M=24)
+
+    def test_f_2816_the_3800cdd_shape(self):
+        """F=2816 = 128*22 (non-pow2): blocked F must pick a legal divisor."""
+        self._check(E=4, D=256, F=2816, M=24)
+
+    def test_decode_sized_batch_default_tiles(self):
+        """M=24 decode-sized batch exercises the adaptive tile_m=32 path."""
+        self._check(E=8, D=256, F=512, M=24)
+
+    def test_large_m_default_tiles(self):
+        """M past the decode threshold exercises tile_m=128."""
+        self._check(E=4, D=128, F=384, M=512)

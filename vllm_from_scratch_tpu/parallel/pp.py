@@ -120,12 +120,17 @@ def pipeline_forward(
         )
         return outputs, stage_cache
 
+    # Manual over "pp" only: on a 2-D (pp, tp) mesh "tp" stays a GSPMD auto
+    # axis, so each stage's attention heads / FFN columns shard exactly as
+    # in the plain-TP engine (compiler-inserted psums over ICI) while the
+    # schedule ppermutes activations stage to stage.
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(), P()),
         out_specs=(P(), P(axis)),
         check_vma=False,
+        axis_names={axis},
     )
     outputs, new_cache = fn(params["layers"], cache, h0, mb)
 

@@ -46,14 +46,15 @@ def make_mesh(parallel: ParallelConfig, devices=None) -> Mesh:
         assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
         return Mesh(np.asarray(devices[:n]).reshape(n), ("cp",))
     if parallel.pp_size > 1:
-        # Pipeline stages: a 1-D "pp" mesh (parallel/pp.py); PP currently
-        # composes with neither GSPMD TP nor DP rows (single-axis schedule).
-        assert parallel.dp_size == 1 and parallel.tp_size == 1, (
-            "pp_size > 1 requires dp_size == tp_size == 1"
-        )
-        n = parallel.pp_size
+        # Pipeline stages x tensor parallelism: a 2-D ("pp", "tp") mesh.
+        # The pipeline schedule is manual over "pp" (shard_map axis_names);
+        # "tp" stays a GSPMD auto axis inside each stage, so attention
+        # heads / FFN columns shard exactly as in the plain TP path.
+        assert parallel.dp_size == 1, "pp_size > 1 requires dp_size == 1"
+        n = parallel.pp_size * parallel.tp_size
         assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-        return Mesh(np.asarray(devices[:n]).reshape(n), ("pp",))
+        dev = np.asarray(devices[:n]).reshape(parallel.pp_size, parallel.tp_size)
+        return Mesh(dev, ("pp", "tp"))
     n = parallel.dp_size * parallel.tp_size
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
     dev = np.asarray(devices[:n]).reshape(parallel.dp_size, parallel.tp_size)
@@ -159,10 +160,27 @@ def batch_shardings(mesh: Mesh):
     )
 
 
-def pp_param_shardings(params: dict, mesh: Mesh) -> dict:
+def pp_param_shardings(params: dict, mesh: Mesh, cfg: ModelConfig = None,
+                       mla_kv: str = "replicated") -> dict:
     """Pipeline-stage layout: every layer-stacked array shards its leading
-    [L] axis over "pp"; everything else (embed/lm_head/norms/rope) is
-    replicated."""
+    [L] axis over "pp".  On a 2-D (pp, tp) mesh the Megatron tp layout
+    composes on the remaining axes (param_shardings with "pp" prepended in
+    place of the unsharded [L] entry); embed/lm_head/norms/rope follow
+    their plain-TP specs."""
+    if cfg is not None and mesh.shape.get("tp", 1) > 1:
+        with_emap = cfg.is_moe and "expert_map" in params["layers"].get("moe", {})
+        base = param_shardings(cfg, mesh, mla_kv, with_expert_map=with_emap)
+
+        def prepend_pp(ns: NamedSharding) -> NamedSharding:
+            spec = list(ns.spec)
+            rest = spec[1:] if spec else []
+            return NamedSharding(mesh, P("pp", *rest))
+
+        base["layers"] = jax.tree.map(
+            prepend_pp, base["layers"],
+            is_leaf=lambda x: isinstance(x, NamedSharding),
+        )
+        return base
     rep = _ns(mesh)
     stage = _ns(mesh, "pp")
     return {
@@ -201,10 +219,12 @@ def _quant_aware(spec_tree: dict, params: dict) -> dict:
 def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh,
                  mla_kv: str = "replicated") -> dict:
     if "pp" in mesh.shape:
-        # pp_param_shardings maps per-array (inside quantized leaves too),
-        # and both q and scale keep the leading [L] stage axis — no rank
-        # mismatch possible.
-        return jax.device_put(params, pp_param_shardings(params, mesh))
+        specs = pp_param_shardings(params, mesh, cfg, mla_kv)
+        if mesh.shape.get("tp", 1) > 1:
+            specs = _quant_aware(specs, params)
+        # (1-D pp: pp_param_shardings maps per-array inside quantized leaves
+        # too, and q and scale both keep the leading [L] stage axis.)
+        return jax.device_put(params, specs)
     if "cp" in mesh.shape:
         # CP shards only the KV cache; params replicate on every cp rank.
         rep = _ns(mesh)
@@ -219,6 +239,15 @@ def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh,
 def shard_cache(cache, cfg: ModelConfig, mesh: Mesh,
                 mla_kv: str = "replicated"):
     if "pp" in mesh.shape:
+        if mesh.shape.get("tp", 1) > 1:
+            # Stage-shard the [L] axis AND keep the tp head/latent layout.
+            base = cache_shardings(cfg, mesh, mla_kv)
+
+            def prepend_pp(ns):
+                rest = list(ns.spec)[1:]
+                return NamedSharding(mesh, P("pp", *rest))
+
+            return jax.device_put(cache, jax.tree.map(prepend_pp, base))
         stage = _ns(mesh, "pp")
         return jax.device_put(cache, jax.tree.map(lambda _: stage, cache))
     if "cp" in mesh.shape:
