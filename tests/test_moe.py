@@ -331,7 +331,7 @@ class TestFusedMoEKernel:
         p, x, gs = self._data()
         ref = grouped_expert_ffn(x, gs, p["w_gate"], p["w_up"], p["w_down"])
         out = fused_moe_pallas(x, gs, p["w_gate"], p["w_up"], p["w_down"],
-                               tile_m=8, interpret=True)
+                               tile_m=8, interpret=None)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
     def test_int8_matches_dequant_ragged(self):
@@ -353,7 +353,7 @@ class TestFusedMoEKernel:
             dequantize_linear(q["w_down"], jnp.float32),
         )
         out = fused_moe_pallas(x, gs, q["w_gate"], q["w_up"], q["w_down"],
-                               tile_m=8, interpret=True)
+                               tile_m=8, interpret=None)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5, rtol=1e-5)
 

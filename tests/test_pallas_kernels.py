@@ -55,7 +55,7 @@ class TestPagedAttentionKernel:
         ref = xla_paged_attention(q, cache, tables, ctx, ql, sm)
         out = paged_attention_pallas(
             q, cache.k, cache.v, cache.k_scale, cache.v_scale,
-            tables, ctx, ql, block_size=BS, sm_scale=sm, interpret=True,
+            tables, ctx, ql, block_size=BS, sm_scale=sm, interpret=None,
         )
         # Compare only real query rows (pad rows are unconstrained).
         for b in range(B):
@@ -122,7 +122,7 @@ class TestMLAKernel:
         q_l = jnp.einsum("bthd,hdr->bthr", qn, w_uk)
         latent = mla_paged_attention_pallas(
             q_l, qr, cache.c, cache.kr, cache.c_scale, cache.kr_scale,
-            tables, ctx, ql, block_size=BS, sm_scale=sm, interpret=True,
+            tables, ctx, ql, block_size=BS, sm_scale=sm, interpret=None,
         )
         out = jnp.einsum("bthr,hrv->bthv", latent, w_uv)
         for b in range(B):
@@ -152,7 +152,7 @@ def test_kv_write_kernel_matches_xla(kv_quant):
     ref = write_kv_cache(cache, k, v, slots)
     kq, vq, ks, vs = write_kv_cache_pallas(
         cache.k, cache.v, cache.k_scale, cache.v_scale, k, v, slots,
-        interpret=True,
+        interpret=None,
     )
     np.testing.assert_array_equal(np.asarray(ref.k), np.asarray(kq))
     np.testing.assert_array_equal(np.asarray(ref.v), np.asarray(vq))
@@ -183,7 +183,7 @@ def test_tiled_prefill_matches_xla(kv_quant):
         q, cache.k, cache.v, cache.k_scale, cache.v_scale,
         tables, ctx, ql, block_size=BS, sm_scale=sm,
         tile_r=64,  # R = 96*2 = 192 -> 3 tiles
-        interpret=True,
+        interpret=None,
     )
     for b in range(B):
         n = int(q_lens[b])
@@ -239,7 +239,7 @@ def test_mla_tiled_prefill_matches_xla(kv_quant):
     latent = mla_paged_attention_pallas(
         q_l, qr, cache.c, cache.kr, cache.c_scale, cache.kr_scale,
         tables, ctx, ql, block_size=BS, sm_scale=sm, tile_r=128,  # R=384 -> 3 tiles
-        interpret=True,
+        interpret=None,
     )
     out = jnp.einsum("bthr,hrv->bthv", latent, w_uv)
     for b in range(B):

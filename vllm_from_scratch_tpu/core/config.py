@@ -148,9 +148,17 @@ class SpecConfig:
 @dataclass(frozen=True)
 class QuantConfig:
     """Weight quantization: "none" | "int8" | "int4" (weight-only,
-    per-output-channel scales; int4 packs two nibbles per byte)."""
+    per-output-channel scales; int4 packs two nibbles per byte).
+
+    ``scope``: "all" quantizes every large matmul weight; "experts"
+    quantizes only the routed-expert stacks (where the fused Pallas kernel
+    applies scales in-epilogue and int8 halves the dominant HBM stream) and
+    keeps dense projections / lm_head in the compute dtype — measured
+    faster on v5e, where the int8->bf16 upconvert of small weights runs on
+    the VPU at ~150-430 G elem/s and costs more than the bytes it saves."""
 
     weight_quant: str = "none"
+    scope: str = "all"
 
 
 @dataclass(frozen=True)

@@ -98,30 +98,36 @@ def init_params(key: jax.Array, cfg: ModelConfig) -> dict:
     }
 
 
-def quantize_params(params: dict, cfg: ModelConfig, bits: int = 8) -> dict:
+def quantize_params(params: dict, cfg: ModelConfig, bits: int = 8,
+                    scope: str = "all") -> dict:
     """Weight-only INT8 (QuantConfig.weight_quant="int8"): every large matmul
     weight becomes a (int8, per-out-channel scale) QuantizedLinear.  Kept
     float: embed (gather), norms, rope, router gate (tiny), and MLA kv_b
     (split/transposed into W_UK/W_UV at use, mla.py:63-69).  Apply AFTER
     sharding — the quantize ops run under GSPMD and outputs inherit layouts.
-    """
+
+    ``scope="experts"`` quantizes only the routed-expert stacks (see
+    QuantConfig.scope for the v5e rationale)."""
     quant = quantize_linear if bits == 8 else quantize_linear4
     out = dict(params)
     layers = dict(params["layers"])
-    for k in ("wq", "wkv", "wo", "w_gate", "w_up", "w_down", "q_a", "q_b", "kv_a"):
-        if k in layers:
-            layers[k] = quant(layers[k])
+    if scope == "all":
+        for k in ("wq", "wkv", "wo", "w_gate", "w_up", "w_down", "q_a", "q_b",
+                  "kv_a"):
+            if k in layers:
+                layers[k] = quant(layers[k])
     if "moe" in layers:
         moe = dict(layers["moe"])
         for k in ("w_gate", "w_up", "w_down"):
             # INT4 experts dequantize outside the fused kernel for now;
             # keep them INT8 (fused epilogue) and the dense weights INT4.
             moe[k] = quantize_linear(moe[k])
-        if "shared" in moe:
+        if "shared" in moe and scope == "all":
             moe["shared"] = tuple(quant(w) for w in moe["shared"])
         layers["moe"] = moe
     out["layers"] = layers
-    out["lm_head"] = quant(params["lm_head"])
+    if scope == "all":
+        out["lm_head"] = quant(params["lm_head"])
     return out
 
 
