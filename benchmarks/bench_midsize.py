@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 NEW_TOKENS = int(os.environ.get("VFS_BENCH_NEW_TOKENS", "128"))
-BLOCK = int(os.environ.get("VFS_BENCH_BLOCK", "16"))
+# 64-token pages: fewer, larger page DMAs in the MLA kernel (measured
+# 163 vs 213 us/layer at ctx 640 on v5e, benchmarks/probe_mxu_s8.py).
+BLOCK = int(os.environ.get("VFS_BENCH_BLOCK", "64"))
 
 HBM_BYTES_PER_S = 819e9  # v5e
 

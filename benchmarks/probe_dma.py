@@ -44,14 +44,15 @@ def main():
 
             x = w_ref[0]
             if op == "sum8":
-                o_ref[0, 0] += jnp.sum(x.astype(jnp.int32)).astype(jnp.float32)
+                s = jnp.sum(x.astype(jnp.int32), axis=0, keepdims=True)
             elif op == "sum32":
-                o_ref[0, 0] += jnp.sum(x).astype(jnp.float32)
+                s = jnp.sum(x, axis=0, keepdims=True)
             elif op == "conv8":  # int8 -> bf16 convert then reduce (VPU rate)
-                o_ref[0, 0] += jnp.sum(x.astype(jnp.bfloat16),
-                                       dtype=jnp.float32)
+                s = jnp.sum(x.astype(jnp.bfloat16), axis=0, keepdims=True,
+                            dtype=jnp.float32)
             elif op == "sumbf":
-                o_ref[0, 0] += jnp.sum(x, dtype=jnp.float32)
+                s = jnp.sum(x, axis=0, keepdims=True, dtype=jnp.float32)
+            o_ref[...] += s[:, :128].astype(jnp.float32)
         return kern
 
     def run(w, op):
@@ -60,8 +61,8 @@ def main():
             reduce_kernel(op),
             grid=(E,),
             in_specs=[pl.BlockSpec((1,) + shape[1:], lambda e: (e, 0, 0))],
-            out_specs=pl.BlockSpec((1, 1), lambda e: (0, 0)),
-            out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            out_specs=pl.BlockSpec((1, 128), lambda e: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=100 * 1024 * 1024,

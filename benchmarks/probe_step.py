@@ -68,28 +68,60 @@ def main():
     )
     key = jax.random.PRNGKey(1)
 
-    @jax.jit
-    def macro(params, cache, tok):
+    donate = os.environ.get("DONATE") == "1"
+    as_args = os.environ.get("ARGS") == "1"
+    exact = os.environ.get("EXACT") == "1"
+    slots_k = jnp.asarray(
+        np.stack([tables[:, (ctx - 1 + k) // bs] * bs + (ctx - 1 + k) % bs
+                  for k in range(INNER)], 1), jnp.int32)  # [B, INNER]
+    tables_j = jnp.asarray(tables)
+    pos0 = jnp.full((B,), ctx - 1, jnp.int32)
+
+    exact2 = os.environ.get("EXACT2") == "1"  # tables/slots as traced args
+
+    def macro_fn(params, cache, tok, batch_arg, tables_a, slots_a, pos_a):
         def body(carry, k):
-            cache, tok = carry
-            b = batch0._replace(tokens=tok[:, None])
+            if exact2:
+                cache, tok, pos = carry
+                b = ModelBatch(
+                    tokens=tok[:, None], positions=pos[:, None],
+                    slots=slots_a[:, k][:, None], block_tables=tables_a,
+                    ctx_lens=pos + 1, q_lens=jnp.ones_like(pos),
+                )
+            elif exact:
+                cache, tok, pos = carry
+                b = ModelBatch(
+                    tokens=tok[:, None], positions=pos[:, None],
+                    slots=slots_k[:, k][:, None], block_tables=tables_j,
+                    ctx_lens=pos + 1, q_lens=jnp.ones_like(pos),
+                )
+            else:
+                cache, tok = carry
+                b = (batch_arg if as_args else batch0)._replace(
+                    tokens=tok[:, None])
             logits, cache = transformer.forward(
                 params, cache, b, mcfg, block_size=bs)
             tok2 = sample(logits, sstate, jax.random.fold_in(key, k))
+            if exact or exact2:
+                return (cache, tok2, pos + 1), tok2
             return (cache, tok2), tok2
 
-        (cache, tok), toks = jax.lax.scan(body, (cache, tok), jnp.arange(INNER))
-        return toks, cache
+        carry0 = (cache, tok, pos_a) if (exact or exact2) else (cache, tok)
+        out = jax.lax.scan(body, carry0, jnp.arange(INNER))
+        return out[1], out[0][0]
+
+    macro = jax.jit(macro_fn, donate_argnums=(1,) if donate else ())
+    print(f"donate={donate} args={as_args}", flush=True)
 
     tok = jnp.ones((B,), jnp.int32)
     t0 = time.perf_counter()
-    toks, cache2 = macro(params, cache, tok)
+    toks, cache = macro(params, cache, tok, batch0, tables_j, slots_k, pos0)
     jax.block_until_ready(toks)
     print(f"compile+first: {time.perf_counter()-t0:.1f} s", flush=True)
     iters = 6
     t0 = time.perf_counter()
     for _ in range(iters):
-        toks, cache = macro(params, cache, tok)
+        toks, cache = macro(params, cache, tok, batch0, tables_j, slots_k, pos0)
     jax.block_until_ready(toks)
     dt = (time.perf_counter() - t0) / iters / INNER
     print(f"full decode step: {dt*1e3:.2f} ms  -> {B/dt:.0f} tok/s", flush=True)

@@ -230,3 +230,41 @@ class TestTopK:
             logits, jnp.asarray([0.5]), jnp.asarray([2], jnp.int32))
         kept = np.asarray(mask)[0]
         assert kept[0] and not kept[2] and not kept[3]
+
+
+def test_sampling_mode_fast_paths_match_full():
+    """Static fast paths (greedy / free) must equal the full path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vllm_from_scratch_tpu.ops.sampling import SamplingState, sample
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (4, 64)) * 3
+    key = jax.random.PRNGKey(1)
+
+    greedy_state = SamplingState(
+        temperature=jnp.zeros((4,)), top_p=jnp.ones((4,)),
+        top_k=jnp.zeros((4,), jnp.int32))
+    np.testing.assert_array_equal(
+        np.asarray(sample(logits, greedy_state, key, "greedy")),
+        np.asarray(sample(logits, greedy_state, key, "full")))
+
+    free_state = SamplingState(
+        temperature=jnp.full((4,), 0.8), top_p=jnp.ones((4,)),
+        top_k=jnp.zeros((4,), jnp.int32))
+    np.testing.assert_array_equal(
+        np.asarray(sample(logits, free_state, key, "free")),
+        np.asarray(sample(logits, free_state, key, "full")))
+
+
+def test_sampling_mode_classifier():
+    from vllm_from_scratch_tpu.core.config import SamplingParams
+    from vllm_from_scratch_tpu.ops.sampling import sampling_mode
+
+    g = SamplingParams(temperature=0.0)
+    f = SamplingParams(temperature=1.0, top_p=1.0, top_k=0)
+    p = SamplingParams(temperature=1.0, top_p=0.9)
+    assert sampling_mode([g, g]) == "greedy"
+    assert sampling_mode([f, g]) == "free"
+    assert sampling_mode([f, p]) == "full"

@@ -28,7 +28,10 @@ import numpy as np
 from ..models import transformer
 from ..models.transformer import ModelBatch
 from ..ops.rejection import propose_ngram, rejection_sample
-from ..ops.sampling import filtered_probs, make_sampling_state, sample, sample_with_probs
+from ..ops.sampling import (
+    filtered_probs, make_sampling_state, sample, sample_with_probs,
+    sampling_mode,
+)
 from .config import EngineConfig, SamplingParams
 from .kv_cache_manager import KVCacheManager, cdiv
 from .request import Request
@@ -58,6 +61,19 @@ def _next_pow2(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+def _unpack_batch(packed, T: int) -> ModelBatch:
+    """Inverse of _run_group's packing (layout documented there)."""
+    N = packed.shape[1] - 3 * T - 3
+    return ModelBatch(
+        tokens=packed[:, :T],
+        positions=packed[:, T:2 * T],
+        slots=packed[:, 2 * T:3 * T],
+        block_tables=packed[:, 3 * T:3 * T + N],
+        ctx_lens=packed[:, 3 * T + N],
+        q_lens=packed[:, 3 * T + N + 1],
+    )
 
 
 class LLMEngine:
@@ -141,6 +157,13 @@ class LLMEngine:
         assert not (eplb_on and use_pp), "EPLB + pipeline parallelism not supported"
         _no_counts = jnp.zeros((0,), jnp.int32)
 
+        # Host->device staging rides ONE packed int32 array per step and the
+        # RNG key derives in-graph from a seed column (fold_in on a baked
+        # base key) — on a remote-tunnel chip every extra small transfer or
+        # host-side jax.random.split costs ~10 ms of per-sync latency.
+        base_key = jax.random.PRNGKey(config.seed + 1)
+        self._step_seed = 0
+
         def _fwd(params, cache, batch):
             if use_pp:
                 from ..parallel.pp import pipeline_forward
@@ -161,25 +184,44 @@ class LLMEngine:
                 collect_expert_counts=True,
             )
 
-        def _step(params, cache, batch: ModelBatch, sstate, skey):
+        def _step(params, cache, packed, sstate, T: int, mode: str):
+            """packed [B, 3T + N + 3] int32 rows:
+            [tokens | positions | slots | tables | ctx | q_len | seed]."""
+            B = packed.shape[0]
+            N = packed.shape[1] - 3 * T - 3
+            batch = ModelBatch(
+                tokens=packed[:, :T],
+                positions=packed[:, T:2 * T],
+                slots=packed[:, 2 * T:3 * T],
+                block_tables=packed[:, 3 * T:3 * T + N],
+                ctx_lens=packed[:, 3 * T + N],
+                q_lens=packed[:, 3 * T + N + 1],
+            )
+            skey = jax.random.fold_in(base_key, packed[0, 3 * T + N + 2])
             if eplb_on:
                 logits, cache, counts = _fwd_counting(params, cache, batch)
             else:
                 logits, cache = _fwd(params, cache, batch)
                 counts = _no_counts
-            tokens = sample(logits, sstate, skey)
+            tokens = sample(logits, sstate, skey, mode)
             return tokens, cache, counts
 
-        self._step_fn = jax.jit(_step, donate_argnums=(1,))
+        self._step_fn = jax.jit(_step, donate_argnums=(1,),
+                                static_argnums=(4, 5))
 
-        def _decode_scan(params, cache, tok0, pos0, tables, slots_k, sstate, skey):
+        def _decode_scan(params, cache, packed, sstate, K: int, mode: str):
             """K autoregressive decode iterations in one compiled program.
 
-            tok0/pos0: [B] current token and its position; slots_k: [B, K]
-            physical slots for positions pos0..pos0+K-1; returns tokens
-            [K, B] (token k is sampled after writing KV for position pos0+k).
+            packed [B, 2 + N + K + 1] int32 rows: [tok0 | pos0 | tables |
+            slots_k | seed]; returns tokens [K, B] (token k is sampled after
+            writing KV for position pos0+k).
             """
-            K = slots_k.shape[1]
+            N = packed.shape[1] - 2 - K - 1
+            tok0 = packed[:, 0]
+            pos0 = packed[:, 1]
+            tables = packed[:, 2:2 + N]
+            slots_k = packed[:, 2 + N:2 + N + K]
+            skey = jax.random.fold_in(base_key, packed[0, 2 + N + K])
 
             def body(carry, k):
                 cache, tok, pos = carry
@@ -196,7 +238,7 @@ class LLMEngine:
                 else:
                     logits, cache = _fwd(params, cache, b)
                     counts = _no_counts
-                tok2 = sample(logits, sstate, jax.random.fold_in(skey, k))
+                tok2 = sample(logits, sstate, jax.random.fold_in(skey, k), mode)
                 return (cache, tok2, pos + 1), (tok2, counts)
 
             (cache, _, _), (toks, counts_k) = jax.lax.scan(
@@ -204,7 +246,13 @@ class LLMEngine:
             )
             return toks, cache, counts_k.sum(axis=0)
 
-        self._decode_scan_fn = jax.jit(_decode_scan, donate_argnums=(1,))
+        self._decode_scan_fn = jax.jit(
+            _decode_scan, donate_argnums=(1,), static_argnums=(4, 5))
+
+        # Sampling state cached on device, re-staged only when the batch
+        # composition or sampling params change.
+        self._sstate_key = None
+        self._sstate_dev = None
 
         # ---- speculative decoding (optional) ---------------------------
         self.draft_params = None
@@ -461,6 +509,28 @@ class LLMEngine:
 
     # ---- batch staging ---------------------------------------------------------
 
+    def _next_seed(self) -> int:
+        self._step_seed += 1
+        return self._step_seed
+
+    def _get_sstate(self, group: List[ScheduledRequest], B_pad: int):
+        """Device-resident SamplingState, re-staged only when the batch
+        composition or sampling params change (saves 3 small H2D transfers
+        per step — ~10 ms each over the axon tunnel)."""
+        key = (B_pad, tuple(
+            (it.request.req_id, it.request.sampling.temperature,
+             it.request.sampling.top_p, it.request.sampling.top_k)
+            for it in group
+        ))
+        if key != self._sstate_key:
+            self._sstate_dev = (
+                jax.device_put(
+                    make_sampling_state([it.request for it in group], B_pad)),
+                sampling_mode([it.request.sampling for it in group]),
+            )
+            self._sstate_key = key
+        return self._sstate_dev
+
     def _run_group(self, group: List[ScheduledRequest]) -> List[int]:
         """Stage one bucketed model call; returns sampled token per item."""
         B = len(group)
@@ -472,38 +542,33 @@ class LLMEngine:
         n_blocks = max(len(it.request.block_ids) for it in group)
         N_pad = min(_next_pow2(max(n_blocks, 1)), self.max_blocks_per_seq)
 
-        tokens = np.zeros((B_pad, T_pad), np.int32)
-        positions = np.zeros((B_pad, T_pad), np.int32)
-        slots = np.zeros((B_pad, T_pad), np.int32)
-        tables = np.zeros((B_pad, N_pad), np.int32)
-        ctx = np.zeros((B_pad,), np.int32)
-        qlens = np.zeros((B_pad,), np.int32)
-
+        # One packed transfer: [tokens | positions | slots | tables | ctx |
+        # q_len | seed] per row.
+        packed = np.zeros((B_pad, 3 * T_pad + N_pad + 3), np.int32)
         for i, it in enumerate(group):
             req, n, s0 = it.request, it.num_new_tokens, it.start_pos
             all_ids = req.all_token_ids()
-            tokens[i, :n] = all_ids[s0 : s0 + n]
-            positions[i, :n] = np.arange(s0, s0 + n)
-            slots[i, :n] = it.slots
-            tables[i, : len(req.block_ids)] = req.block_ids
-            ctx[i] = s0 + n
-            qlens[i] = n
+            packed[i, :n] = all_ids[s0 : s0 + n]
+            packed[i, T_pad:T_pad + n] = np.arange(s0, s0 + n)
+            packed[i, 2 * T_pad:2 * T_pad + n] = it.slots
+            packed[i, 3 * T_pad:3 * T_pad + len(req.block_ids)] = req.block_ids
+            packed[i, 3 * T_pad + N_pad] = s0 + n
+            packed[i, 3 * T_pad + N_pad + 1] = n
+        packed[:, 3 * T_pad + N_pad + 2] = self._next_seed()
 
-        batch = ModelBatch(
-            tokens=tokens, positions=positions, slots=slots,
-            block_tables=tables, ctx_lens=ctx, q_lens=qlens,
-        )
         if self.mesh is not None and self.config.parallel.dp_size > 1:
-            from ..parallel import sharding as shd
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            batch = jax.device_put(batch, shd.batch_shardings(self.mesh))
-        sstate = make_sampling_state([it.request for it in group], B_pad)
-        self._rng, skey = jax.random.split(self._rng)
+            packed = jax.device_put(
+                packed, NamedSharding(self.mesh, P("dp", None)))
+        sstate, mode = self._get_sstate(group, B_pad)
         out_tokens, self.cache, counts = self._step_fn(
-            self.params, self.cache, batch, sstate, skey)
+            self.params, self.cache, packed, sstate, T_pad, mode)
         self._eplb_accumulate(counts)
         if self.draft_params is not None:
             # Keep the draft model's KV in lockstep (prefill / fallback path).
+            batch = _unpack_batch(np.asarray(packed) if not isinstance(
+                packed, np.ndarray) else packed, T_pad)
             self.draft_cache = self._draft_prefill_fn(
                 self.draft_params, self.draft_cache, batch
             )
@@ -547,21 +612,25 @@ class LLMEngine:
         n_blocks = max(len(it.request.block_ids) for it in scheduled)
         N_pad = min(_next_pow2(max(n_blocks, 1)), self.max_blocks_per_seq)
 
-        tok0 = np.zeros((B_pad,), np.int32)
-        pos0 = np.zeros((B_pad,), np.int32)
-        tables = np.zeros((B_pad, N_pad), np.int32)
-        slots_k = np.zeros((B_pad, K), np.int32)
+        # One packed transfer: [tok0 | pos0 | tables | slots_k | seed].
+        packed = np.zeros((B_pad, 2 + N_pad + K + 1), np.int32)
         for i, it in enumerate(scheduled):
             req, s0 = it.request, it.start_pos
-            tok0[i] = req.all_token_ids()[s0]
-            pos0[i] = s0
-            tables[i, : len(req.block_ids)] = req.block_ids
-            slots_k[i] = self.kv_mgr.slot_mapping(req, s0, K)
+            packed[i, 0] = req.all_token_ids()[s0]
+            packed[i, 1] = s0
+            packed[i, 2 : 2 + len(req.block_ids)] = req.block_ids
+            packed[i, 2 + N_pad : 2 + N_pad + K] = self.kv_mgr.slot_mapping(
+                req, s0, K)
+        packed[:, 2 + N_pad + K] = self._next_seed()
 
-        sstate = make_sampling_state([it.request for it in scheduled], B_pad)
-        self._rng, skey = jax.random.split(self._rng)
+        if self.mesh is not None and self.config.parallel.dp_size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            packed = jax.device_put(
+                packed, NamedSharding(self.mesh, P("dp", None)))
+        sstate, mode = self._get_sstate(scheduled, B_pad)
         toks, self.cache, counts = self._decode_scan_fn(
-            self.params, self.cache, tok0, pos0, tables, slots_k, sstate, skey
+            self.params, self.cache, packed, sstate, K, mode
         )
         self._eplb_accumulate(counts)
         arr = np.asarray(toks)  # [K, B_pad] — the single host sync

@@ -64,20 +64,44 @@ def top_p_top_k_mask(logits: jax.Array, top_p: jax.Array, top_k: jax.Array) -> j
     return logits >= thresh
 
 
+def sampling_mode(sampling_params) -> str:
+    """Static fast-path classification for a batch (host-side).
+
+    "greedy": every request is temperature 0 -> pure argmax, no sort, no
+    gumbel (the [B, V] sort otherwise costs ~2 ms/step at V=32k on v5e —
+    it cannot be elided when the state is a runtime array).
+    "free": no request needs top-p/top-k filtering -> gumbel without sort.
+    "full": the general path."""
+    if all(sp.temperature <= 0.0 for sp in sampling_params):
+        return "greedy"
+    if all(sp.top_p >= 1.0 and sp.top_k == 0 for sp in sampling_params):
+        return "free"
+    return "full"
+
+
 def sample(
     logits: jax.Array,      # [B, V]
     state: SamplingState,
     key: jax.Array,
+    mode: str = "full",
 ) -> jax.Array:
-    """Draw one token per row.  Returns [B] int32."""
+    """Draw one token per row.  Returns [B] int32.
+
+    ``mode`` is a STATIC fast-path hint (see sampling_mode); "full" is
+    always correct."""
     B, V = logits.shape
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if mode == "greedy":
+        return greedy
 
     is_greedy = state.temperature <= 0.0
     temp = jnp.where(is_greedy, 1.0, state.temperature)
     scaled = logits / temp[:, None]
-    keep = top_p_top_k_mask(scaled, state.top_p, state.top_k)
-    filtered = jnp.where(keep, scaled, -jnp.inf)
+    if mode == "free":
+        filtered = scaled
+    else:
+        keep = top_p_top_k_mask(scaled, state.top_p, state.top_k)
+        filtered = jnp.where(keep, scaled, -jnp.inf)
 
     gumbel = jax.random.gumbel(key, (B, V), dtype=jnp.float32)
     sampled = jnp.argmax(filtered + gumbel, axis=-1).astype(jnp.int32)
