@@ -372,7 +372,7 @@ class TestMultiStepDecode:
         blocks_before = [len(it.request.block_ids) for it in scheduled]
         # K=48 needs 2 more blocks per request; free_before (3) leaves room
         # for only the first request's grant -> fallback with rollback.
-        assert eng._try_multi_step(scheduled) is None
+        assert eng._try_multi_step(scheduled) is False
         assert eng.kv_mgr.pool.get_num_free_blocks() == free_before
         assert [len(it.request.block_ids) for it in scheduled] == blocks_before
 

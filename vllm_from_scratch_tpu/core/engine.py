@@ -209,19 +209,21 @@ class LLMEngine:
         self._step_fn = jax.jit(_step, donate_argnums=(1,),
                                 static_argnums=(4, 5))
 
-        def _decode_scan(params, cache, packed, sstate, K: int, mode: str):
+        def _decode_scan(params, cache, tok0, packed, sstate, K: int, mode: str):
             """K autoregressive decode iterations in one compiled program.
 
-            packed [B, 2 + N + K + 1] int32 rows: [tok0 | pos0 | tables |
-            slots_k | seed]; returns tokens [K, B] (token k is sampled after
-            writing KV for position pos0+k).
+            tok0 [B]: the current token per row — a host upload for the
+            first macro, or the PREVIOUS macro's on-device last sample in
+            the async pipeline (no host sync between macros).
+            packed [B, 1 + N + K + 1] int32 rows: [pos0 | tables | slots_k |
+            seed]; returns tokens [K, B] (token k is sampled after writing
+            KV for position pos0+k).
             """
-            N = packed.shape[1] - 2 - K - 1
-            tok0 = packed[:, 0]
-            pos0 = packed[:, 1]
-            tables = packed[:, 2:2 + N]
-            slots_k = packed[:, 2 + N:2 + N + K]
-            skey = jax.random.fold_in(base_key, packed[0, 2 + N + K])
+            N = packed.shape[1] - 1 - K - 1
+            pos0 = packed[:, 0]
+            tables = packed[:, 1:1 + N]
+            slots_k = packed[:, 1 + N:1 + N + K]
+            skey = jax.random.fold_in(base_key, packed[0, 1 + N + K])
 
             def body(carry, k):
                 cache, tok, pos = carry
@@ -247,12 +249,15 @@ class LLMEngine:
             return toks, cache, counts_k.sum(axis=0)
 
         self._decode_scan_fn = jax.jit(
-            _decode_scan, donate_argnums=(1,), static_argnums=(4, 5))
+            _decode_scan, donate_argnums=(1,), static_argnums=(5, 6))
 
         # Sampling state cached on device, re-staged only when the batch
         # composition or sampling params change.
         self._sstate_key = None
         self._sstate_dev = None
+        # Async decode pipeline: the in-flight macro-step (dispatched but
+        # not yet synced); see _pump_async.
+        self._pending_macro: Optional[dict] = None
 
         # ---- speculative decoding (optional) ---------------------------
         self.draft_params = None
@@ -574,17 +579,18 @@ class LLMEngine:
             )
         return [int(t) for t in np.asarray(out_tokens)[:B]]
 
-    def _try_multi_step(self, scheduled: List[ScheduledRequest]) -> Optional[List[List[int]]]:
-        """Run K decode iterations in one device call (sync once per K).
+    def _try_multi_step(self, scheduled: List[ScheduledRequest]) -> bool:
+        """Dispatch K decode iterations as one device call (async pipeline).
 
-        Only for pure-decode batches.  Returns per-k sampled tokens
-        [[tok per item] for k in range(K)], or None to use the 1-step path.
-        K is capped so no request overruns max_new_tokens, and every request
-        must be able to pre-allocate K slots.
-        """
+        Only for pure-decode batches.  On success the macro-step is IN
+        FLIGHT (self._pending_macro set) and the caller pumps it; False
+        falls back to the 1-step path.  K is capped so no request overruns
+        max_new_tokens, and every request must be able to pre-allocate K
+        slots (grants roll back on failure so the fallback doesn't
+        over-commit)."""
         K = self.config.scheduler.decode_steps
         if K <= 1 or any(it.num_new_tokens != 1 for it in scheduled):
-            return None
+            return False
         K = min(
             K,
             min(
@@ -593,48 +599,128 @@ class LLMEngine:
             ),
         )
         if K <= 1:
-            return None
-        # Pre-allocate blocks for K tokens per request (no preemption inside
-        # a macro-step; fall back to 1-step under memory pressure — rolling
-        # back grants already made so the fallback doesn't over-commit).
+            return False
         granted = []
         for it in scheduled:
             extra = self.kv_mgr.allocate_slots(it.request, K)
             if extra is None:
                 for req, ids in granted:
                     self.kv_mgr.rollback(req, ids)
-                return None
+                return False
             granted.append((it.request, extra))
 
+        self._pending_macro = self._dispatch_macro(scheduled, K, tok_dev=None)
+        return True
+
+    def _dispatch_macro(self, scheduled, K: int, tok_dev, start_offset: int = 0):
+        """Stage + dispatch one K-iteration decode macro (no host sync).
+
+        ``tok_dev``: device [B_pad] current tokens (None => upload from host
+        state); ``start_offset``: extra tokens beyond each item's start_pos
+        already covered by in-flight macros (continuation dispatch)."""
         B = len(scheduled)
         dp = self.config.parallel.dp_size
         B_pad = dp * _next_pow2(cdiv(B, dp))
         n_blocks = max(len(it.request.block_ids) for it in scheduled)
         N_pad = min(_next_pow2(max(n_blocks, 1)), self.max_blocks_per_seq)
 
-        # One packed transfer: [tok0 | pos0 | tables | slots_k | seed].
-        packed = np.zeros((B_pad, 2 + N_pad + K + 1), np.int32)
+        # One packed transfer: [pos0 | tables | slots_k | seed].
+        packed = np.zeros((B_pad, 1 + N_pad + K + 1), np.int32)
+        tok0 = np.zeros((B_pad,), np.int32)
         for i, it in enumerate(scheduled):
-            req, s0 = it.request, it.start_pos
-            packed[i, 0] = req.all_token_ids()[s0]
-            packed[i, 1] = s0
-            packed[i, 2 : 2 + len(req.block_ids)] = req.block_ids
-            packed[i, 2 + N_pad : 2 + N_pad + K] = self.kv_mgr.slot_mapping(
+            req, s0 = it.request, it.start_pos + start_offset
+            if tok_dev is None:
+                tok0[i] = req.all_token_ids()[s0]
+            packed[i, 0] = s0
+            packed[i, 1 : 1 + len(req.block_ids)] = req.block_ids
+            packed[i, 1 + N_pad : 1 + N_pad + K] = self.kv_mgr.slot_mapping(
                 req, s0, K)
-        packed[:, 2 + N_pad + K] = self._next_seed()
+        packed[:, 1 + N_pad + K] = self._next_seed()
 
-        if self.mesh is not None and self.config.parallel.dp_size > 1:
+        if self.mesh is not None and dp > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             packed = jax.device_put(
                 packed, NamedSharding(self.mesh, P("dp", None)))
+            if tok_dev is None:
+                tok_dev = jax.device_put(tok0, NamedSharding(self.mesh, P("dp")))
+        elif tok_dev is None:
+            tok_dev = jnp.asarray(tok0)
+
         sstate, mode = self._get_sstate(scheduled, B_pad)
+        # Frees are deferred while this macro may still write cache slots.
+        self.kv_mgr.begin_deferred_frees()
         toks, self.cache, counts = self._decode_scan_fn(
-            self.params, self.cache, packed, sstate, K, mode
+            self.params, self.cache, tok_dev, packed, sstate, K, mode
         )
-        self._eplb_accumulate(counts)
-        arr = np.asarray(toks)  # [K, B_pad] — the single host sync
-        return [[int(t) for t in arr[k, :B]] for k in range(K)]
+        return {"scheduled": scheduled, "K": K, "B": B, "toks": toks,
+                "counts": counts, "offset": start_offset}
+
+    def _dispatch_continuation(self, p) -> Optional[dict]:
+        """Dispatch the NEXT macro before syncing the pending one: tok0 is
+        the pending macro's on-device last sample, so the device pipeline
+        never drains while the host processes results (async scheduling)."""
+        scheduled, K = p["scheduled"], p["K"]
+        if self.scheduler.waiting:  # serve arrivals between macros
+            return None
+        reqs = [it.request for it in scheduled]
+        if any(r.is_finished for r in reqs):  # aborted mid-flight
+            return None
+        done_after = p["offset"] + K
+        K2 = min(
+            self.config.scheduler.decode_steps,
+            min(r.sampling.max_new_tokens - (len(r.output_token_ids) + K)
+                for r in reqs),
+        )
+        if K2 <= 1:
+            return None
+        granted = []
+        for it in scheduled:
+            # num_computed still sits at start_pos + p["offset"] (p's updates
+            # haven't run), so K (pending) + K2 (new) tokens need slots.
+            extra = self.kv_mgr.allocate_slots(it.request, K + K2)
+            if extra is None:
+                for req, ids in granted:
+                    self.kv_mgr.rollback(req, ids)
+                return None
+            granted.append((it.request, extra))
+        return self._dispatch_macro(scheduled, K2, tok_dev=p["toks"][-1],
+                                    start_offset=done_after)
+
+    def _pump_async(self) -> List[Tuple[int, int]]:
+        """Dispatch the continuation, then sync + apply the pending macro."""
+        p = self._pending_macro
+        self._pending_macro = None
+        cont = self._dispatch_continuation(p)
+
+        arr = np.asarray(p["toks"])   # [K, B_pad] — waits for p only
+        self._eplb_accumulate(p["counts"])
+        emitted: List[Tuple[int, int]] = []
+        for k in range(p["K"]):
+            emitted.extend(self.scheduler.update(
+                p["scheduled"], [int(t) for t in arr[k, : p["B"]]]))
+        if cont is not None:
+            self._pending_macro = cont
+        else:
+            self.kv_mgr.flush_deferred_frees()
+
+        # Drain: if every request of an in-flight continuation finished in
+        # THIS macro (EOS/max_new), its output is dead — wait for its writes
+        # (they target deferred blocks) and release.
+        if self._pending_macro is not None and all(
+            it.request.is_finished for it in self._pending_macro["scheduled"]
+        ):
+            dead = self._pending_macro
+            self._pending_macro = None
+            jax.block_until_ready(dead["toks"])
+            self.kv_mgr.flush_deferred_frees()
+
+        now = time.monotonic()
+        self.metrics["num_steps"] += p["K"]
+        self.metrics["num_generated_tokens"] += len(emitted)
+        for rid, _ in emitted:
+            self._first_token_time.setdefault(rid, now)
+        return emitted
 
     def _try_spec_step(self, scheduled: List[ScheduledRequest]) -> Optional[List[Tuple[int, int]]]:
         """Speculative decode for a pure-decode batch: draft K, verify once,
@@ -721,6 +807,11 @@ class LLMEngine:
 
         Returns [(req_id, new_token)] emitted this step (mini_vllm.py:712-764).
         """
+        # Async decode pipeline: a macro-step is in flight — dispatch its
+        # continuation, then sync + apply it.
+        if self._pending_macro is not None:
+            return self._pump_async()
+
         scheduled = self.scheduler.schedule()
         if not scheduled:
             return []
@@ -740,23 +831,19 @@ class LLMEngine:
                 self._first_token_time.setdefault(rid, now)
             return emitted
 
-        multi = self._try_multi_step(scheduled)
-        if multi is not None:
-            emitted = []
-            for k, toks_k in enumerate(multi):
-                emitted.extend(self.scheduler.update(scheduled, toks_k))
-            self.metrics["num_steps"] += len(multi) - 1  # inner iterations
-        else:
-            prefill = [it for it in scheduled if it.num_new_tokens > 1]
-            decode = [it for it in scheduled if it.num_new_tokens == 1]
+        if self._try_multi_step(scheduled):
+            return self._pump_async()
 
-            sampled: Dict[int, int] = {}
-            for group in (prefill, decode):
-                if group:
-                    for it, tok in zip(group, self._run_group(group)):
-                        sampled[id(it)] = tok
+        prefill = [it for it in scheduled if it.num_new_tokens > 1]
+        decode = [it for it in scheduled if it.num_new_tokens == 1]
 
-            emitted = self.scheduler.update(scheduled, [sampled[id(it)] for it in scheduled])
+        sampled: Dict[int, int] = {}
+        for group in (prefill, decode):
+            if group:
+                for it, tok in zip(group, self._run_group(group)):
+                    sampled[id(it)] = tok
+
+        emitted = self.scheduler.update(scheduled, [sampled[id(it)] for it in scheduled])
 
         now = time.monotonic()
         self.metrics["num_steps"] += 1

@@ -64,6 +64,9 @@ class KVCacheManager:
         # prefix-cache observability (BASELINE north-star metric).
         self.query_blocks = 0
         self.hit_blocks = 0
+        # delay_free support for async decode (see free()).
+        self._defer_frees = False
+        self._deferred: List[List[int]] = []
 
     # ---- metrics ----------------------------------------------------------
 
@@ -150,11 +153,28 @@ class KVCacheManager:
 
     def free(self, request: Request) -> None:
         """Release all blocks (finish or preempt); reverse order keeps shared
-        prefixes at the LRU tail longest."""
+        prefixes at the LRU tail longest.
+
+        While an async decode macro-step is in flight (core/engine.py) frees
+        are DEFERRED: the device may still be writing these slots, and a
+        free-then-realloc would hand them to another request mid-step (the
+        delay_free lifecycle of BLOG_PART2B_V2.md:760-1082)."""
         if request.block_ids:
-            self.pool.free_blocks(list(reversed(request.block_ids)))
+            if self._defer_frees:
+                self._deferred.append(list(reversed(request.block_ids)))
+            else:
+                self.pool.free_blocks(list(reversed(request.block_ids)))
         request.block_ids = []
         request.num_cached_blocks = 0
+
+    def begin_deferred_frees(self) -> None:
+        self._defer_frees = True
+
+    def flush_deferred_frees(self) -> None:
+        self._defer_frees = False
+        for ids in self._deferred:
+            self.pool.free_blocks(ids)
+        self._deferred = []
 
     # ---- prefix cache publish path ------------------------------------------
 
