@@ -73,10 +73,27 @@ class DeviceCopyBackend:
 
     ``payload`` must be a pytree of jax.Arrays; ``target_device`` is chosen
     per dst_node_id by the mapping given at construction.
-    """
 
-    def __init__(self, node_devices: dict):
+    Host topology is modeled from day 1 (the multi-host readiness VERDICT r1
+    asked for): ``node_hosts`` maps node_id -> host (process) index.  Same-
+    host transfers ride ICI/PCIe (the plain device_put).  Cross-host
+    transfers are the DCN path: on a real multi-host deployment the
+    device_put crosses processes via jax's cross-host transfer; on this
+    single-process rig the copy is local, so the DCN cost model
+    (bandwidth + per-message latency) is charged explicitly so scheduling /
+    break-even behavior matches a real pod (the reference's RDMA layer,
+    BLOG_PART2B_V2.md:3470-3676, modeled the same way)."""
+
+    def __init__(self, node_devices: dict, node_hosts: Optional[dict] = None,
+                 dcn_gbps: float = GBPS,
+                 dcn_latency_s: float = CROSS_RACK_LATENCY_S):
         self.node_devices = node_devices  # node_id -> jax.Device
+        self.node_hosts = node_hosts or {}  # node_id -> host/process index
+        self.dcn_gbps = dcn_gbps
+        self.dcn_latency_s = dcn_latency_s
+
+    def _host(self, node_id: int):
+        return self.node_hosts.get(node_id, 0)
 
     def transfer(self, req: TransferRequest) -> TransferResult:
         import jax
@@ -86,6 +103,11 @@ class DeviceCopyBackend:
         moved = jax.device_put(req.payload, dev)
         jax.block_until_ready(moved)
         nbytes = sum(x.nbytes for x in jax.tree.leaves(moved))
+        cross_host = self._host(req.src_node_id) != self._host(req.dst_node_id)
+        if cross_host:
+            # Single-process stand-in for the DCN hop: charge its cost model
+            # (a real multi-process run pays this in the device_put itself).
+            time.sleep(self.dcn_latency_s + nbytes * 8 / (self.dcn_gbps * 1e9))
         return TransferResult(
             req.transfer_id, True, nbytes, time.monotonic() - t0, data=moved
         )
