@@ -45,13 +45,10 @@ def _kernel_body(H: int, block_size: int, P: int, sm_scale: float, quantized: bo
     def kern(tbl_ref, ctx_ref, qstart_ref, ql_ref, qr_ref, *refs):
         c_refs = refs[0:P]                  # each [1, bs, r]
         kr_refs = refs[P:2 * P]             # each [1, bs, dr]
-        # Scales arrive as ONE dense pre-gathered chunk [1, S_c, 1] each
-        # (not 2P per-page micro-DMAs — the kernel is DMA-count bound at
-        # decode, and a page's scale block is only bs*4 bytes).
-        cs_ref = refs[2 * P]
-        krs_ref = refs[2 * P + 1]
-        o_ref = refs[2 * P + 2]             # [1, TILE_R, r]
-        acc_ref, m_ref, l_ref = refs[2 * P + 3:]
+        cs_refs = refs[2 * P:3 * P]         # each [1, bs, 1]
+        krs_refs = refs[3 * P:4 * P]
+        o_ref = refs[4 * P]                 # [1, TILE_R, r]
+        acc_ref, m_ref, l_ref = refs[4 * P + 1:]
         b = pl.program_id(0)
         qt = pl.program_id(1)               # query-row tile
         ci = pl.program_id(2)
@@ -70,13 +67,16 @@ def _kernel_body(H: int, block_size: int, P: int, sm_scale: float, quantized: bo
 
         @pl.when((ci * S_c < ctx) & (ci * S_c <= tile_last_pos))
         def _chunk():
-            c = _concat([c_refs[i][0].astype(jnp.float32) for i in range(P)])
-            kr = _concat([kr_refs[i][0].astype(jnp.float32) for i in range(P)])
-            if quantized:
-                # Row-fold the per-token scales into the float rows (both
-                # the score and PV uses of ``c`` then come pre-dequantized).
-                c = c * cs_ref[0]                # [S_c, 1] broadcast
-                kr = kr * krs_ref[0]
+            def dequant(ref, s_ref):
+                # Row-fold the per-token scale into the float rows (both the
+                # score and PV uses of ``c`` then come pre-dequantized).
+                x = ref[0].astype(jnp.float32)   # [bs, width]
+                if quantized:
+                    x = x * s_ref[0]             # [bs, 1]
+                return x
+
+            c = _concat([dequant(c_refs[i], cs_refs[i]) for i in range(P)])
+            kr = _concat([dequant(kr_refs[i], krs_refs[i]) for i in range(P)])
             s = jax.lax.dot_general(
                 ql_ref[0], c, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -165,23 +165,18 @@ def mla_paged_attention_pallas(
     QT = R_pad // TILE_R
     c_pages = c_cache.reshape(nb, bs, r)
     kr_pages = kr_cache.reshape(nb, bs, dr)
-    # Per-token scales: ONE dense pre-gathered operand [B, N*bs, 1] (an XLA
-    # gather of ~4*S bytes/row) instead of 2P per-page micro-DMAs — the
-    # kernel is DMA-count bound at decode.  Trailing block dims (S_c, 1):
-    # S_c is 8-divisible, 1 == full array dim (Mosaic rule).
-    offs = jnp.arange(bs, dtype=jnp.int32)
-    slot_idx = (block_tables[:, :, None] * bs + offs).reshape(B, N * bs)
-    cs_dense = jnp.take(c_scale, slot_idx, axis=0, mode="clip")[..., None]
-    krs_dense = jnp.take(kr_scale, slot_idx, axis=0, mode="clip")[..., None]
+    # [nb, bs, 1] column layout so scales row-fold into [bs, width] pages;
+    # also satisfies Mosaic's block-dim rule ((1, bs) blocks of [nb, bs]
+    # are neither (8,128)-aligned nor full-array).
+    cs_pages = c_scale.reshape(nb, bs, 1)
+    krs_pages = kr_scale.reshape(nb, bs, 1)
 
     def page_map(i):
         return lambda b, t, c, tbl, ctx, qs: (tbl[b, c * P + i], 0, 0)
 
     c_spec = lambda i: pl.BlockSpec((1, bs, r), page_map(i))
     kr_spec = lambda i: pl.BlockSpec((1, bs, dr), page_map(i))
-    S_c = P * bs
-    dense_sc_spec = pl.BlockSpec(
-        (1, S_c, 1), lambda b, t, c, *_: (b, c, 0))
+    sc_spec = lambda i: pl.BlockSpec((1, bs, 1), page_map(i))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -193,7 +188,8 @@ def mla_paged_attention_pallas(
             ]
             + [c_spec(i) for i in range(P)]
             + [kr_spec(i) for i in range(P)]
-            + [dense_sc_spec, dense_sc_spec]
+            + [sc_spec(i) for i in range(P)]
+            + [sc_spec(i) for i in range(P)]
         ),
         out_specs=pl.BlockSpec((1, TILE_R, r), lambda b, t, c, *_: (b, t, 0)),
         scratch_shapes=[
@@ -212,6 +208,7 @@ def mla_paged_attention_pallas(
         ),
         interpret=resolve_interpret(interpret),
     )(block_tables.astype(jnp.int32), ctx_lens.astype(jnp.int32), q_start,
-      ql2, qr2, *([c_pages] * P), *([kr_pages] * P), cs_dense, krs_dense)
+      ql2, qr2, *([c_pages] * P), *([kr_pages] * P), *([cs_pages] * P),
+      *([krs_pages] * P))
 
     return out[:, :R].reshape(B, Tq, H, r)

@@ -58,13 +58,10 @@ def _kernel_body(Hkv: int, G: int, block_size: int, P: int, sm_scale: float,
     def kern(tbl_ref, ctx_ref, qstart_ref, q_ref, *refs):
         k_refs = refs[0:P]                 # each [1, bs, Hkv, D]
         v_refs = refs[P:2 * P]
-        # Scales arrive as ONE dense pre-gathered chunk [1, S_c, Hkv] each
-        # (not 2P per-page micro-DMAs; the kernel is DMA-count bound at
-        # decode and a page's scale block is only bs*Hkv*4 bytes).
-        ks_ref = refs[2 * P]
-        vs_ref = refs[2 * P + 1]
-        o_ref = refs[2 * P + 2]            # [1, Hkv, TILE_R, D]
-        acc_ref, m_ref, l_ref = refs[2 * P + 3:]
+        ks_refs = refs[2 * P:3 * P]        # each [1, bs, Hkv]
+        vs_refs = refs[3 * P:4 * P]
+        o_ref = refs[4 * P]                # [1, Hkv, TILE_R, D]
+        acc_ref, m_ref, l_ref = refs[4 * P + 1:]
         b = pl.program_id(0)
         qt = pl.program_id(1)              # query-row tile (prefill tiling)
         c = pl.program_id(2)
@@ -93,17 +90,16 @@ def _kernel_body(Hkv: int, G: int, block_size: int, P: int, sm_scale: float,
             kv_pos = c * S_c + jax.lax.broadcasted_iota(jnp.int32, (R, S_c), 1)
             mask = ((kv_pos <= row_pos) & (kv_pos < ctx))[None]    # [1, R, S_c]
 
-            def dequant_t(ref, s_ref, i):
+            def dequant_t(ref, s_ref):
                 # [bs, Hkv, D] page -> head-major [Hkv, bs, D], scale
                 # row-folded in (avoids lane-vector scale math).
                 x = ref[0].astype(jnp.float32)                     # [bs, Hkv, D]
                 if quantized:
-                    s = s_ref[0, i * block_size:(i + 1) * block_size]
-                    x = x * s[:, :, None]                          # [bs, Hkv, 1]
+                    x = x * s_ref[0][:, :, None]                   # [bs, Hkv, 1]
                 return jnp.swapaxes(x, 0, 1)                       # [Hkv, bs, D]
 
             kh = _concat(
-                [dequant_t(k_refs[i], ks_ref, i) for i in range(P)], axis=1
+                [dequant_t(k_refs[i], ks_refs[i]) for i in range(P)], axis=1
             )                                                      # [Hkv, S_c, D]
             q = q_ref[0]                                           # [Hkv, R, D]
             # One batched matmul over all kv heads (Mosaic lowers the batch
@@ -122,7 +118,7 @@ def _kernel_body(Hkv: int, G: int, block_size: int, P: int, sm_scale: float,
             l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=2, keepdims=True)
 
             vh = _concat(
-                [dequant_t(v_refs[i], vs_ref, i) for i in range(P)], axis=1
+                [dequant_t(v_refs[i], vs_refs[i]) for i in range(P)], axis=1
             )
             pv = jax.lax.dot_general(
                 p, vh, (((2,), (1,)), ((0,), (0,))),
@@ -193,18 +189,17 @@ def paged_attention_pallas(
     QT = R_pad // TILE_R
     k_pages = k_cache.reshape(nb, bs, Hkv, D)
     v_pages = v_cache.reshape(nb, bs, Hkv, D)
-    # Dense pre-gathered scales [B, N*bs, Hkv] (see _kernel_body).
-    offs = jnp.arange(bs, dtype=jnp.int32)
-    slot_idx = (block_tables[:, :, None] * bs + offs).reshape(B, N * bs)
-    ks_dense = jnp.take(k_scale, slot_idx, axis=0, mode="clip")
-    vs_dense = jnp.take(v_scale, slot_idx, axis=0, mode="clip")
-    S_c = P * bs
+    ks_pages = k_scale.reshape(nb, bs, Hkv)
+    vs_pages = v_scale.reshape(nb, bs, Hkv)
 
     def page_map(i):
         return lambda b, t, c, tbl, ctx, qs: (tbl[b, c * P + i], 0, 0, 0)
 
+    def scale_map(i):
+        return lambda b, t, c, tbl, ctx, qs: (tbl[b, c * P + i], 0, 0)
+
     page_spec = lambda i: pl.BlockSpec((1, bs, Hkv, D), page_map(i))
-    dense_sc_spec = pl.BlockSpec((1, S_c, Hkv), lambda b, t, c, *_: (b, c, 0))
+    sc_spec = lambda i: pl.BlockSpec((1, bs, Hkv), scale_map(i))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -213,7 +208,8 @@ def paged_attention_pallas(
             [pl.BlockSpec((1, Hkv, TILE_R, D), lambda b, t, c, *_: (b, 0, t, 0))]
             + [page_spec(i) for i in range(P)]
             + [page_spec(i) for i in range(P)]
-            + [dense_sc_spec, dense_sc_spec]
+            + [sc_spec(i) for i in range(P)]
+            + [sc_spec(i) for i in range(P)]
         ),
         out_specs=pl.BlockSpec(
             (1, Hkv, TILE_R, D), lambda b, t, c, *_: (b, 0, t, 0)),
@@ -233,7 +229,8 @@ def paged_attention_pallas(
         ),
         interpret=resolve_interpret(interpret),
     )(block_tables.astype(jnp.int32), ctx_lens.astype(jnp.int32), q_start,
-      qt, *([k_pages] * P), *([v_pages] * P), ks_dense, vs_dense)
+      qt, *([k_pages] * P), *([v_pages] * P), *([ks_pages] * P),
+      *([vs_pages] * P))
 
     # [B, Hkv, R_pad, D] -> [B, Tq, Hq, D]
     return (
