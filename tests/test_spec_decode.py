@@ -226,3 +226,38 @@ class TestNgramSpec:
         out = ng.generate(prompts, sp)
         assert list(out.values()) == list(plain.values())
         assert ng.stats().get("spec_drafted", 0) > 0
+
+
+def test_ngram_spec_composes_with_pp():
+    """Draft-free ngram spec under a pp2 mesh == plain single-device output
+    (VERDICT r1 #6: the verify forward pipelines like any chunk)."""
+    import jax
+    import pytest
+
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 devices")
+    from vllm_from_scratch_tpu.core.config import (
+        CacheConfig, EngineConfig, ModelConfig, ParallelConfig,
+        SamplingParams, SchedulerConfig, SpecConfig,
+    )
+    from vllm_from_scratch_tpu.core.engine import LLMEngine
+
+    model = ModelConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                        num_heads=4, num_kv_heads=4, max_position=256,
+                        intermediate_size=64)
+    base = dict(
+        model=model,
+        cache=CacheConfig(block_size=16, num_blocks=64),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_num_batched_tokens=64),
+    )
+    sp = SamplingParams(max_new_tokens=12, temperature=0.0, ignore_eos=True)
+    prompts = [[5, 6, 7, 5, 6, 7, 5, 6], [9, 10, 11, 12]]
+
+    plain = LLMEngine(EngineConfig(**base)).generate(prompts, sp)
+    ng_pp = LLMEngine(EngineConfig(
+        **base,
+        parallel=ParallelConfig(pp_size=2),
+        spec=SpecConfig(method="ngram", num_draft_tokens=3, ngram_n=2)))
+    out = ng_pp.generate(prompts, sp)
+    assert list(out.values()) == list(plain.values())
+    assert ng_pp.stats().get("spec_drafted", 0) > 0

@@ -263,13 +263,11 @@ class LLMEngine:
         self.draft_params = None
         self.draft_cache = None
         if config.spec is not None and config.spec.method == "ngram":
-            assert not use_pp, (
-                "speculative decoding + pipeline parallelism not supported yet"
-            )
-
             # Draft-free prompt lookup: host proposes, ONE target forward
             # verifies, the exact rejection sampler consumes a one-hot draft
-            # distribution (accept prob = p_target(draft)).
+            # distribution (accept prob = p_target(draft)).  Composes with
+            # pipeline parallelism: the verify is just a (K+1)-token forward,
+            # which pipeline_forward runs like any chunk.
             def _ngram_verify(pt, ct, tok0, pos0, tables, slots_k, drafts,
                               sstate, skey):
                 K = slots_k.shape[1] - 1
@@ -280,11 +278,19 @@ class LLMEngine:
                     block_tables=tables, ctx_lens=pos0 + K + 1,
                     q_lens=jnp.full_like(pos0, K + 1),
                 )
-                all_logits, ct = transformer.forward(
-                    pt, ct, b, mcfg, block_size=ccfg.block_size, mesh=mesh,
-                    ep_dispatch=ep_dispatch, mla_kv=mla_kv,
-                    return_all_logits=True,
-                )
+                if use_pp:
+                    from ..parallel.pp import pipeline_forward
+
+                    all_logits, ct = pipeline_forward(
+                        pt, ct, b, mcfg, mesh, block_size=ccfg.block_size,
+                        return_all_logits=True,
+                    )
+                else:
+                    all_logits, ct = transformer.forward(
+                        pt, ct, b, mcfg, block_size=ccfg.block_size, mesh=mesh,
+                        ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                        return_all_logits=True,
+                    )
                 target_probs = filtered_probs(all_logits, sstate)
                 draft_probs = jax.nn.one_hot(
                     drafts, mcfg.vocab_size, dtype=jnp.float32)
@@ -294,8 +300,14 @@ class LLMEngine:
 
             self._ngram_verify_fn = jax.jit(_ngram_verify, donate_argnums=(1,))
         elif config.spec is not None:
+            # Draft-MODEL spec decode keeps its no-pp assert: the draft's
+            # K-iteration lax.scan would have to run inside every pipeline
+            # stage's shard_map tick (stage-bubbled K times per token) or on
+            # a separate replica — neither is worth it when the draft-free
+            # ngram method above composes with pp for free.
             assert not use_pp, (
-                "speculative decoding + pipeline parallelism not supported yet"
+                "draft-model speculative decoding + pipeline parallelism is "
+                "not supported (use method='ngram' with pp)"
             )
             dcfg = config.spec.draft
             assert dcfg is not None and dcfg.vocab_size == mcfg.vocab_size

@@ -46,8 +46,11 @@ def pipeline_forward(
     block_size: int,
     axis: str = "pp",
     num_microbatches: Optional[int] = None,
+    return_all_logits: bool = False,
 ) -> Tuple[jax.Array, object]:
-    """Pipelined model step; returns (last-position logits [B, V], cache)."""
+    """Pipelined model step; returns (logits, cache) — last-position
+    [B, V] by default, per-position [B, T, V] with ``return_all_logits``
+    (the speculative-decode verify path)."""
     B, T = batch.tokens.shape
     n = mesh.shape[axis]
     L = cfg.num_layers
@@ -136,6 +139,8 @@ def pipeline_forward(
 
     x = outputs.reshape(B, T, -1)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    if return_all_logits:
+        return mm(x, params["lm_head"]).astype(jnp.float32), new_cache
     last = jnp.maximum(batch.q_lens - 1, 0)
     x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
     logits = mm(x_last, params["lm_head"]).astype(jnp.float32)
