@@ -36,3 +36,6 @@ if not os.environ.get("VFS_TPU_REAL_DEVICE"):
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # No XLA-level entries: on CPU those are machine-feature-specific
+        # AOT code (loud warnings + potential SIGILL on a different host).
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")

@@ -221,6 +221,137 @@ def demo_pd_dataplane():
           f" (decode prefix hit rate {decode.engine.kv_mgr.hit_rate:.2f})")
 
 
+def demo_eplb():
+    """Expert load balancing in serving (BLOG_PART3_V2.md:185-187): skewed
+    router traffic is re-packed onto ranks between decode macro-steps with
+    outputs unchanged."""
+    import jax.numpy as jnp
+
+    from .core.config import (
+        CacheConfig, EngineConfig, ModelConfig, ParallelConfig, SamplingParams,
+        SchedulerConfig,
+    )
+    from .core.engine import LLMEngine
+
+    print("== EPLB (expert load balancing) ==")
+    eng = LLMEngine(EngineConfig(
+        model=ModelConfig(vocab_size=256, hidden_size=64, num_layers=2,
+                          num_heads=4, num_kv_heads=4, max_position=256,
+                          intermediate_size=64, num_experts=8, top_k=2),
+        cache=CacheConfig(block_size=16, num_blocks=64, kv_quant="none"),
+        scheduler=SchedulerConfig(max_num_seqs=4, max_num_batched_tokens=64),
+        parallel=ParallelConfig(eplb_interval=10_000, eplb_ranks=4),
+    ))
+    # All-equal router logits -> every token routes to experts (0, 1):
+    # maximally skewed, both hot experts on rank 0.
+    layers = dict(eng.params["layers"])
+    layers["moe"] = {**layers["moe"],
+                     "gate": jnp.zeros_like(layers["moe"]["gate"])}
+    eng.params = {**eng.params, "layers": layers}
+
+    sp = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True)
+    out1 = eng.generate([[5, 6, 7, 8], [9, 10, 11]], sp)
+    before = eng.eplb_max_rank_load_frac()
+    eng._eplb_rebalance()
+    out2 = eng.generate([[5, 6, 7, 8], [9, 10, 11]], sp)
+    after = eng.eplb_max_rank_load_frac()
+    print(f"  max-rank load share: {before:.2f} -> {after:.2f} "
+          f"(1/4 = perfectly balanced)")
+    print(f"  greedy outputs unchanged by the permutation: "
+          f"{list(out1.values()) == list(out2.values())}")
+
+
+def demo_pd_scheduler_native():
+    """Scheduler-native PD: plain add_request/step on the decode engine —
+    its own scheduler parks the request in WAITING_FOR_REMOTE_KVS, pulls
+    the published prefix, and admits with the KV local."""
+    import time as _t
+
+    from .core.config import (
+        CacheConfig, EngineConfig, ModelConfig, SamplingParams, SchedulerConfig,
+    )
+    from .core.engine import LLMEngine
+    from .distributed.connector import KVConnector
+    from .distributed.metadata import GlobalMetadataServer
+    from .distributed.pd import PageStore, PDWorker
+    from .distributed.transfer import TransferEngine
+
+    print("== scheduler-native PD (WAITING_FOR_REMOTE_KVS) ==")
+
+    def eng():
+        return LLMEngine(EngineConfig(
+            model=ModelConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                              num_heads=4, num_kv_heads=4, max_position=256,
+                              intermediate_size=64),
+            cache=CacheConfig(block_size=16, num_blocks=64, kv_quant="int8"),
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=64),
+        ))
+
+    meta, store = GlobalMetadataServer(), PageStore()
+    prompt = list(range(1, 49))
+    sp = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True)
+
+    prefill = PDWorker(eng(), KVConnector(0, meta, TransferEngine(0), 16),
+                       store).enable_streaming_publish()
+    prefill.engine.generate([prompt], sp)
+    prefill.flush_publishes()
+    print(f"  prefill node streamed {len(store)} blocks into the pool "
+          f"during chunked prefill")
+
+    decode = PDWorker(eng(), KVConnector(1, meta, TransferEngine(1), 16),
+                      store).attach()
+    rid = decode.engine.add_request(prompt, sp)
+    toks = []
+    while not decode.engine.scheduler.requests[rid].is_finished:
+        got = decode.engine.step()
+        if not got:
+            _t.sleep(0.003)
+        toks += [t for r, t in got if r == rid]
+    req = decode.engine.scheduler.requests[rid]
+    print(f"  decode node admitted with {req.num_remote_tokens} remote KV "
+          f"tokens; local prefill was "
+          f"{decode.engine.metrics['num_prefill_tokens']} tokens "
+          f"(vs {len(prompt)} cold)")
+
+
+def demo_cp():
+    """Context-parallel MLA serving (PCP+DCP): a cp mesh serves a prompt
+    larger than one device's KV budget (needs >= 2 devices; skipped on a
+    single chip)."""
+    import jax
+
+    print("== context-parallel serving (PCP + DCP) ==")
+    n = min(4, jax.device_count())
+    if n < 2:
+        print(f"  skipped: {jax.device_count()} device(s) visible "
+              "(run under XLA_FLAGS=--xla_force_host_platform_device_count=8)")
+        return
+
+    from .core.config import (
+        CacheConfig, EngineConfig, ModelConfig, ParallelConfig, SamplingParams,
+        SchedulerConfig,
+    )
+    from .core.engine import LLMEngine
+
+    eng = LLMEngine(EngineConfig(
+        model=ModelConfig(vocab_size=128, hidden_size=64, num_layers=2,
+                          num_heads=4, num_kv_heads=4, max_position=512,
+                          intermediate_size=64,
+                          kv_lora_rank=16, qk_rope_head_dim=8,
+                          qk_nope_head_dim=16, v_head_dim=16),
+        cache=CacheConfig(block_size=16, num_blocks=8, kv_quant="int8"),
+        scheduler=SchedulerConfig(max_num_seqs=2, max_num_batched_tokens=128),
+        parallel=ParallelConfig(cp_size=n),
+    ))
+    prompt = list(range(1, 201))
+    sp = SamplingParams(max_new_tokens=6, temperature=0.0, ignore_eos=True)
+    out = eng.generate([prompt], sp)
+    per_chip = (8 - 1) * 16
+    print(f"  cp={n}: 200-token prompt served on {per_chip}-token/chip pools "
+          f"(virtual block {eng.block_size}); output {out[0]}")
+
+
 SECTIONS = {
     "paged": demo_paged,
     "prefix": demo_prefix,
@@ -230,6 +361,9 @@ SECTIONS = {
     "spec": demo_spec,
     "cluster": demo_cluster,
     "pd": demo_pd_dataplane,
+    "eplb": demo_eplb,
+    "pd_sched": demo_pd_scheduler_native,
+    "cp": demo_cp,
 }
 
 
