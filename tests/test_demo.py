@@ -6,7 +6,8 @@ import pytest
 from vllm_from_scratch_tpu import demo
 
 
-@pytest.mark.parametrize("section", ["paged", "prefix", "moe", "mla", "pd"])
+@pytest.mark.parametrize("section", ["paged", "prefix", "moe", "mla", "pd",
+                                     "eplb", "pd_sched", "cp"])
 def test_demo_section_runs(section, capsys):
     demo.SECTIONS[section]()
     out = capsys.readouterr().out
