@@ -25,6 +25,7 @@ NEW_TOKENS = int(os.environ.get("VFS_BENCH_NEW_TOKENS", "128"))
 # 64-token pages: fewer, larger page DMAs in the MLA kernel (measured
 # 163 vs 213 us/layer at ctx 640 on v5e, benchmarks/probe_mxu_s8.py).
 BLOCK = int(os.environ.get("VFS_BENCH_BLOCK", "64"))
+DECODE_STEPS = int(os.environ.get("VFS_BENCH_DECODE_STEPS", "32"))
 
 HBM_BYTES_PER_S = 819e9  # v5e
 
@@ -50,7 +51,7 @@ def build_engine():
         # decode_steps 32: >=3 measured macro-step windows per run, so the
         # decode rate isn't a single-window measurement.
         scheduler=SchedulerConfig(max_num_seqs=16, max_num_batched_tokens=2048,
-                                  decode_steps=32),
+                                  decode_steps=DECODE_STEPS),
         # scope="experts" measured a wash on v5e (probe_step: 8.71 vs
         # 8.58 ms — the extra bf16 dense bytes cancel the convert savings),
         # so the headline keeps everything int8.

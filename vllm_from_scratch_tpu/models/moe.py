@@ -92,20 +92,28 @@ def route(gate_logits: jax.Array, top_k: int, num_groups: int = 1,
 
 # ---------------------------------------------------------------- expert GEMM
 
-def expert_ffn(x_sorted, group_sizes, w_gate, w_up, w_down):
+def expert_ffn(x_sorted, group_sizes, w_gate, w_up, w_down, layer_idx=None):
     """Dispatch the per-expert SwiGLU GEMMs.
 
     INT8 expert weights on TPU take the Pallas fused kernel
     (ops/pallas/moe_gemm.py — dequant stays in the matmul epilogue, 1.15x
     over dequantize+ragged_dot on v5e); float weights (and CPU) use XLA's
-    ragged_dot, which is at parity for bf16."""
+    ragged_dot, which is at parity for bf16.
+
+    ``layer_idx``: weights are LAYER-STACKED [L, E, ...] and this (traced)
+    index selects the layer inside the kernel — the lax.scan never slices
+    the stacks (see fused_moe_pallas's docstring for why that matters)."""
     from ..models.layers import QuantizedLinear
     from ..ops.pallas import use_pallas
 
     if isinstance(w_gate, QuantizedLinear) and use_pallas():
         from ..ops.pallas.moe_gemm import fused_moe_pallas
 
-        return fused_moe_pallas(x_sorted, group_sizes, w_gate, w_up, w_down)
+        return fused_moe_pallas(x_sorted, group_sizes, w_gate, w_up, w_down,
+                                layer_idx=layer_idx)
+    if layer_idx is not None:  # XLA fallback: slice the stacks
+        w_gate, w_up, w_down = jax.tree.map(
+            lambda a: a[layer_idx], (w_gate, w_up, w_down))
     wg = dequantize_linear(w_gate, x_sorted.dtype)
     wu = dequantize_linear(w_up, x_sorted.dtype)
     wd = dequantize_linear(w_down, x_sorted.dtype)
@@ -142,6 +150,7 @@ def moe_ffn(
     expert_offset=None,       # int/traced — first global expert id held locally
     num_global_experts: Optional[int] = None,  # E_global when weights are a local slice
     expert_map: Optional[jax.Array] = None,    # [E] logical->physical slot (EPLB)
+    layer_idx: Optional[jax.Array] = None,     # weights layer-stacked [L, E, ...]
 ) -> Tuple[jax.Array, jax.Array]:
     """Full MoE layer: route -> sort -> grouped GEMM -> weighted scatter-add.
 
@@ -155,7 +164,8 @@ def moe_ffn(
     """
     T, D = x.shape
     E_global = num_global_experts or gate_w.shape[-1]
-    E_local = (w_gate.q if hasattr(w_gate, "q") else w_gate).shape[0]
+    q0 = w_gate.q if hasattr(w_gate, "q") else w_gate
+    E_local = q0.shape[1] if layer_idx is not None else q0.shape[0]
     r = route(x @ gate_w, top_k, num_groups, topk_group)
 
     K = r.ids.shape[1]
@@ -184,7 +194,8 @@ def moe_ffn(
     group_sizes = jnp.bincount(sorted_ids, length=E_local)
 
     x_rep = x[token_idx]                               # [M, D] sorted by expert
-    y = expert_ffn(x_rep, group_sizes, w_gate, w_up, w_down)
+    y = expert_ffn(x_rep, group_sizes, w_gate, w_up, w_down,
+                   layer_idx=layer_idx)
     y = y * flat_w[order][:, None].astype(y.dtype)
 
     out = jnp.zeros((T, D), y.dtype).at[token_idx].add(y)

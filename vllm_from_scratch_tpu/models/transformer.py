@@ -171,13 +171,21 @@ def forward(
     output.  Counts are of LOGICAL expert ids, pre-``expert_map``."""
     B, T = batch.tokens.shape
     x = params["embed"][batch.tokens]  # [B, T, H]
+
+    # The big expert stacks stay OUT of the scan xs: slicing them per layer
+    # forces XLA to materialize ~contiguous copies for the Pallas custom
+    # call (measured 5.2 ms/step at the midsize shape).  The fused kernel
+    # takes the full [L, E, ...] stacks plus the layer index instead.
+    layers_xs, moe_stacks = split_moe_stacks(params["layers"], cfg)
     layer_step = make_layer_step(
         batch, cfg, params["rope"], block_size=block_size, mesh=mesh,
         ep_dispatch=ep_dispatch, mla_kv=mla_kv,
-        collect_counts=collect_expert_counts,
+        collect_counts=collect_expert_counts, moe_stacks=moe_stacks,
     )
 
-    x, ys = jax.lax.scan(layer_step, x, (params["layers"], cache))
+    L = cfg.num_layers
+    x, ys = jax.lax.scan(
+        layer_step, x, (layers_xs, cache, jnp.arange(L, dtype=jnp.int32)))
     new_cache, counts = ys if collect_expert_counts else (ys, None)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
@@ -194,17 +202,33 @@ def forward(
     return logits, new_cache
 
 
+def split_moe_stacks(layers: dict, cfg: ModelConfig):
+    """(layers-without-big-expert-stacks, {w_gate, w_up, w_down} or None).
+
+    The big stacks are closed over by the layer step (indexed in-kernel via
+    layer_idx) instead of being sliced by the scan — see forward()."""
+    if not cfg.is_moe or "moe" not in layers:
+        return layers, None
+    moe = dict(layers["moe"])
+    stacks = {k: moe.pop(k) for k in ("w_gate", "w_up", "w_down")}
+    return {**layers, "moe": moe}, stacks
+
+
 def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
                     block_size: int, mesh=None, ep_dispatch: str = "psum",
-                    mla_kv: str = "replicated", collect_counts: bool = False):
+                    mla_kv: str = "replicated", collect_counts: bool = False,
+                    moe_stacks=None):
     """The per-layer scan body, reusable by forward() and the pipeline-
     parallel runner (parallel/pp.py) which scans each stage's layer slice.
+    xs = (layer_params_slice, cache_slice, layer_idx).
 
     With ``collect_counts`` the scan ys become (cache_l, counts_l [E]) —
-    router-assignment counts per LOGICAL expert id for EPLB."""
+    router-assignment counts per LOGICAL expert id for EPLB.
+    ``moe_stacks``: full layer-stacked expert weights (split_moe_stacks),
+    selected per layer inside the fused kernel via layer_idx."""
 
     def layer_step(h, xs):
-        layer, cache_l = xs
+        layer, cache_l, li = xs
         if cfg.is_mla:
             a, cache_l = mla_mod.mla_attention_block(
                 layer, cache_l, h, batch, cfg, rope, block_size=block_size,
@@ -231,22 +255,28 @@ def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
             if mesh is not None and mesh.shape.get("tp", 1) > 1:
                 from ..parallel.ep import ep_moe_ffn, ep_moe_ffn_a2a
 
+                # shard_map EP works on per-layer slices; slicing here is
+                # the multi-chip path (the single-chip perf path below
+                # never materializes the slice).
+                m_ep = {**m, **jax.tree.map(lambda a: a[li], moe_stacks)}
                 if ep_dispatch == "a2a":
-                    f = ep_moe_ffn_a2a(xf, m, cfg, mesh, expert_map=emap)
+                    f = ep_moe_ffn_a2a(xf, m_ep, cfg, mesh, expert_map=emap)
                 else:
-                    f = ep_moe_ffn(xf, m, cfg, mesh, expert_map=emap)
+                    f = ep_moe_ffn(xf, m_ep, cfg, mesh, expert_map=emap)
                 if "shared" in m:  # dense shared expert stays under GSPMD
                     wg, wu, wd = m["shared"]
                     f = f + mm(jax.nn.silu(mm(xf, wg)) * mm(xf, wu), wd)
             else:
                 f, _aux = moe_mod.moe_ffn(
                     xf,
-                    m["gate"], m["w_gate"], m["w_up"], m["w_down"],
+                    m["gate"], moe_stacks["w_gate"], moe_stacks["w_up"],
+                    moe_stacks["w_down"],
                     top_k=cfg.top_k, num_groups=cfg.num_groups,
                     topk_group=cfg.topk_group,
                     shared=m.get("shared"),
                     aux_loss_coeff=cfg.aux_loss_coeff,
                     expert_map=emap,
+                    layer_idx=li,
                 )
             h = h + f.reshape(h.shape).astype(h.dtype)
         else:

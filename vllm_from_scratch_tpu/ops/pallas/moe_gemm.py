@@ -75,15 +75,23 @@ def moe_align(
     return x_pad, pos, tile_expert
 
 
-def _split(w, E):
-    """(values [E, din, dout], scales [E, 1, dout] or None)."""
+def _split(w, L, E):
+    """(values [L, E, din, dout], scales [L, E, 1, dout] or None).
+
+    Accepts per-layer [E, ...] (L == 1) or layer-stacked [L, E, ...]
+    weights; a leading unit axis is added when absent (free reshape)."""
     if isinstance(w, QuantizedLinear):
-        return w.q, w.scale.reshape(E, 1, -1)
-    return w, None
+        q, s = w.q, w.scale
+    else:
+        q, s = w, None
+    if q.ndim == 3:
+        q = q[None]
+        s = None if s is None else s[None]
+    return q, None if s is None else s.reshape(L, E, 1, -1)
 
 
 def _kernel(quantized: bool, out_dtype):
-    def kern(tile_expert_ref, x_ref, wg_ref, wu_ref, wd_ref,
+    def kern(tile_expert_ref, li_ref, x_ref, wg_ref, wu_ref, wd_ref,
              sg_ref, su_ref, sd_ref, o_ref):
         # Grid (token_tiles, F_blocks): SwiGLU is separable over F columns
         # and the down-projection sums over F, so each F-block contributes
@@ -96,23 +104,23 @@ def _kernel(quantized: bool, out_dtype):
 
         x = x_ref[...]                                        # [TILE_M, D]
         g = jax.lax.dot_general(
-            x, wg_ref[0].astype(x.dtype), (((1,), (0,)), ((), ())),
+            x, wg_ref[0, 0].astype(x.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         u = jax.lax.dot_general(
-            x, wu_ref[0].astype(x.dtype), (((1,), (0,)), ((), ())),
+            x, wu_ref[0, 0].astype(x.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if quantized:
-            g = g * sg_ref[0]
-            u = u * su_ref[0]
+            g = g * sg_ref[0, 0]
+            u = u * su_ref[0, 0]
         h = (jax.nn.silu(g) * u).astype(x.dtype)              # [TILE_M, F_blk]
         y = jax.lax.dot_general(
-            h, wd_ref[0].astype(x.dtype), (((1,), (0,)), ((), ())),
+            h, wd_ref[0, 0].astype(x.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if quantized:
-            y = y * sd_ref[0]
+            y = y * sd_ref[0, 0]
         o_ref[...] += y.astype(out_dtype)
 
     return kern
@@ -123,11 +131,21 @@ def fused_moe_pallas(
     group_sizes: jax.Array,   # [E]
     w_gate, w_up, w_down,     # [E, D, F] / [E, F, D], float or QuantizedLinear
     *,
+    layer_idx: Optional[jax.Array] = None,
     tile_m: Optional[int] = None,
     f_block: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Fused SwiGLU expert GEMMs; returns y_sorted [M, D] float32."""
+    """Fused SwiGLU expert GEMMs; returns y_sorted [M, D] float32.
+
+    ``layer_idx``: when the weights carry a leading layer axis
+    ([L, E, ...]), the scalar-prefetched layer index selects the layer
+    INSIDE the kernel's BlockSpecs.  This is how the engine's lax.scan
+    avoids materializing each layer's expert stack: slicing scan xs forces
+    XLA to copy ~138 MB of weights per layer per step to build contiguous
+    custom-call operands (measured 5.2 ms/step at the midsize shape —
+    benchmarks/RESULTS.md r2); with the full stacks as operands the kernel
+    DMAs pages straight out of the original buffers."""
     from . import resolve_interpret
 
     M, D = x_sorted.shape
@@ -139,13 +157,20 @@ def fused_moe_pallas(
         tile_m = 32 if M <= 256 else 128
     quantized = isinstance(w_gate, QuantizedLinear)
 
-    wg, sg = _split(w_gate, E)
-    wu, su = _split(w_up, E)
-    wd, sd = _split(w_down, E)
+    q0 = w_gate.q if quantized else w_gate
+    L = q0.shape[0] if q0.ndim == 4 else 1
+    if layer_idx is None:
+        layer_idx = jnp.zeros((1,), jnp.int32)
+    else:
+        layer_idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    wg, sg = _split(w_gate, L, E)
+    wu, su = _split(w_up, L, E)
+    wd, sd = _split(w_down, L, E)
     F = wg.shape[-1]
     if sg is None:  # uniform arg list for the kernel
-        ones_f = jnp.ones((E, 1, F), jnp.float32)
-        ones_d = jnp.ones((E, 1, D), jnp.float32)
+        ones_f = jnp.ones((L, E, 1, F), jnp.float32)
+        ones_d = jnp.ones((L, E, 1, D), jnp.float32)
         sg, su, sd = ones_f, ones_f, ones_d
 
     x_pad, pos, tile_expert = moe_align(x_sorted, group_sizes, tile_m)
@@ -180,18 +205,18 @@ def fused_moe_pallas(
     num_f = F // f_blk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles, num_f),
         in_specs=[
-            pl.BlockSpec((tile_m, D), lambda t, f, te: (t, 0)),
-            pl.BlockSpec((1, D, f_blk), lambda t, f, te: (te[t], 0, f)),
-            pl.BlockSpec((1, D, f_blk), lambda t, f, te: (te[t], 0, f)),
-            pl.BlockSpec((1, f_blk, D), lambda t, f, te: (te[t], f, 0)),
-            pl.BlockSpec((1, 1, f_blk), lambda t, f, te: (te[t], 0, f)),
-            pl.BlockSpec((1, 1, f_blk), lambda t, f, te: (te[t], 0, f)),
-            pl.BlockSpec((1, 1, D), lambda t, f, te: (te[t], 0, 0)),
+            pl.BlockSpec((tile_m, D), lambda t, f, te, li: (t, 0)),
+            pl.BlockSpec((1, 1, D, f_blk), lambda t, f, te, li: (li[0], te[t], 0, f)),
+            pl.BlockSpec((1, 1, D, f_blk), lambda t, f, te, li: (li[0], te[t], 0, f)),
+            pl.BlockSpec((1, 1, f_blk, D), lambda t, f, te, li: (li[0], te[t], f, 0)),
+            pl.BlockSpec((1, 1, 1, f_blk), lambda t, f, te, li: (li[0], te[t], 0, f)),
+            pl.BlockSpec((1, 1, 1, f_blk), lambda t, f, te, li: (li[0], te[t], 0, f)),
+            pl.BlockSpec((1, 1, 1, D), lambda t, f, te, li: (li[0], te[t], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((tile_m, D), lambda t, f, te: (t, 0)),
+        out_specs=pl.BlockSpec((tile_m, D), lambda t, f, te, li: (t, 0)),
     )
 
     y_pad = pl.pallas_call(
@@ -203,6 +228,6 @@ def fused_moe_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=resolve_interpret(interpret),
-    )(tile_expert, x_pad, wg, wu, wd, sg, su, sd)
+    )(tile_expert, layer_idx, x_pad, wg, wu, wd, sg, su, sd)
 
     return y_pad[pos]

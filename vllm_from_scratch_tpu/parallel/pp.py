@@ -93,10 +93,15 @@ def pipeline_forward(
                 q_lens=jnp.where(valid, mb.q_lens[mc], 0),
             )
             h_in = jnp.where(r == 0, h0_all[mc], recv)
+            stage_small, stage_big = transformer.split_moe_stacks(
+                stage_layers, cfg)
             step = transformer.make_layer_step(
-                bmb, cfg, rope, block_size=block_size
+                bmb, cfg, rope, block_size=block_size, moe_stacks=stage_big
             )
-            h_out, new_cache = jax.lax.scan(step, h_in, (stage_layers, stage_cache))
+            L_stage = jnp.arange(stage_small["ffn_norm"].shape[0],
+                                 dtype=jnp.int32)
+            h_out, new_cache = jax.lax.scan(
+                step, h_in, (stage_small, stage_cache, L_stage))
             # Bubble ticks must not mutate real cache rows; slots=0 already
             # routes writes to the null block, so the update is safe to keep.
             stage_cache = new_cache
