@@ -22,9 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 NEW_TOKENS = int(os.environ.get("VFS_BENCH_NEW_TOKENS", "128"))
-# 64-token pages: fewer, larger page DMAs in the MLA kernel (measured
-# 163 vs 213 us/layer at ctx 640 on v5e, benchmarks/probe_mxu_s8.py).
-BLOCK = int(os.environ.get("VFS_BENCH_BLOCK", "64"))
+# 128-token pages: fewer, larger page DMAs in the MLA kernel (measured
+# best of 16/64/128 at ctx ~640 on v5e once the scan-slice copies were
+# eliminated; 3.0-3.1k tok/s vs 2.9k at 64).
+BLOCK = int(os.environ.get("VFS_BENCH_BLOCK", "128"))
 DECODE_STEPS = int(os.environ.get("VFS_BENCH_DECODE_STEPS", "32"))
 
 HBM_BYTES_PER_S = 819e9  # v5e
