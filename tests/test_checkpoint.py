@@ -130,3 +130,20 @@ def test_quantized_engine_roundtrip(tmp_path):
     assert isinstance(eng2.params["lm_head"], QuantizedLinear)
     sp = SamplingParams(max_new_tokens=5, temperature=0.0, ignore_eos=True)
     assert eng.generate([[5, 6, 7]], sp) == eng2.generate([[5, 6, 7]], sp)
+
+
+def test_restore_with_eplb_override(tmp_path):
+    """Restoring a checkpoint saved with EPLB OFF while overriding EPLB ON
+    must not desync the orbax restore target from the stored tree: the
+    target's structure follows the SAVED config; __init__ then adds a fresh
+    identity expert_map for the enabled EPLB."""
+    from vllm_from_scratch_tpu.core.config import ParallelConfig
+
+    cfg = tiny_config(num_experts=4, top_k=2)
+    eng = LLMEngine(cfg)
+    eng.save(str(tmp_path / "e"))
+    eng2 = LLMEngine.from_checkpoint(
+        str(tmp_path / "e"), parallel=ParallelConfig(eplb_interval=4))
+    assert "expert_map" in eng2.params["layers"]["moe"]
+    sp = SamplingParams(max_new_tokens=5, temperature=0.0, ignore_eos=True)
+    assert eng.generate([[5, 6, 7]], sp) == eng2.generate([[5, 6, 7]], sp)

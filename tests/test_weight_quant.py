@@ -112,6 +112,27 @@ class TestEngineWeightQuant:
         assert cos > 0.99, cos
 
 
+class TestQuantScope:
+    def test_scope_experts_leaves_dense_float(self):
+        """QuantConfig.scope='experts' must flow through the ENGINE's
+        quantize_params call: routed experts become QuantizedLinear while
+        lm_head and the dense/attention weights stay float arrays."""
+        kw = dict(cfg_for("flagship").__dict__)
+        kw["quant"] = QuantConfig(weight_quant="int8", scope="experts")
+        eng = LLMEngine(EngineConfig(**kw))
+        assert isinstance(eng.params["lm_head"], jax.Array), type(
+            eng.params["lm_head"])
+        layers = eng.params["layers"]
+        for k in ("q_a", "q_b", "wo"):
+            if k in layers:
+                assert isinstance(layers[k], jax.Array), k
+        moe = layers["moe"]
+        assert isinstance(moe["w_gate"], QuantizedLinear)
+        # and it still generates
+        out = eng.generate([[5, 6, 7]], GREEDY)
+        assert len(next(iter(out.values()))) == 6
+
+
 class TestMemoryAndParallel:
     def test_param_bytes_shrink(self):
         cfg = cfg_for("flagship")

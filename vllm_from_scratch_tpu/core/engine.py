@@ -142,6 +142,7 @@ class LLMEngine:
             self.params = transformer.quantize_params(
                 self.params, mcfg,
                 bits=4 if config.quant.weight_quant == "int4" else 8,
+                scope=config.quant.scope,
             )
 
         # Widest possible block table row (bucketed down per call).
@@ -463,6 +464,12 @@ class LLMEngine:
             raise FileNotFoundError(f"{path}/config.json not found")
         with open(cfg_path) as f:
             config = config_from_dict(json.load(f))
+        # The stored param tree's structure (expert_map present or not) is
+        # decided by the config the checkpoint was SAVED with — overrides
+        # (e.g. turning EPLB on for the restored engine) must not change the
+        # restore target, only the rebuilt engine.  __init__ adds a fresh
+        # identity expert_map when EPLB is enabled and the leaf is missing.
+        saved_eplb = config.parallel.eplb_interval > 0
         if overrides:
             config = config.replace(**overrides)
 
@@ -474,8 +481,9 @@ class LLMEngine:
                 p = transformer.quantize_params(
                     p, config.model,
                     bits=4 if config.quant.weight_quant == "int4" else 8,
+                    scope=config.quant.scope,
                 )
-            if config.parallel.eplb_interval > 0 and config.model.is_moe:
+            if saved_eplb and config.model.is_moe:
                 layers = dict(p["layers"])
                 layers["moe"] = {
                     **layers["moe"],

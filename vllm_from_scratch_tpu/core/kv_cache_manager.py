@@ -107,11 +107,10 @@ class KVCacheManager:
             return [], 0
         self._extend_block_hashes(request)
         hits = self.pool.lookup_prefix(request.block_hashes)
-        # Probe-based accounting (the reference's semantics): queries count
-        # only blocks probed until the first miss terminates the chain —
-        # hit_rate stays comparable across BASELINE/RESULTS entries.
-        probed = len(hits) + (1 if len(hits) < len(request.block_hashes) else 0)
-        self.query_blocks += probed
+        # Reference accounting (global_kv_pool.py:121): every block hash of
+        # the lookup counts as a query, not just blocks probed until the
+        # first miss — hit_rate stays comparable to reference/BASELINE.
+        self.query_blocks += len(request.block_hashes)
         self.hit_blocks += len(hits)
         # Never satisfy the entire prompt from cache.
         max_hit_tokens = request.num_prompt_tokens - 1

@@ -92,6 +92,7 @@ class Scheduler:
             return False
         req.status = RequestStatus.FINISHED_ABORTED
         self.kv.free(req)
+        self._pull_started.discard(req_id)
         if req in self.waiting:
             self.waiting.remove(req)
         if req in self.running:
@@ -324,6 +325,7 @@ class Scheduler:
                 self.kv.cache_blocks(req)
                 self.kv.free(req)
                 self.running.remove(req)
+                self._pull_started.discard(req.req_id)
             else:
                 self.kv.cache_blocks(req)
         return emitted
