@@ -10,7 +10,10 @@ imports ``run_engine`` and reports decode tok/s WITH an HBM-utilization
 line (weights + KV bytes per step vs the 819 GB/s v5e roofline).
 
 Run: python benchmarks/bench_midsize.py   (TPU; first compile ~2-4 min)
-Env: VFS_BENCH_NEW_TOKENS (default 128), VFS_BENCH_BLOCK (default 16).
+Env: VFS_BENCH_NEW_TOKENS (default 128), VFS_BENCH_BLOCK (default 16),
+     VFS_BENCH_BATCH (default 16; decode is weight-streaming-bound, so
+     tok/s scales ~linearly in batch until KV streaming catches up —
+     sweep with benchmarks/sweep_batch.py).
 """
 
 import os
@@ -27,11 +30,13 @@ NEW_TOKENS = int(os.environ.get("VFS_BENCH_NEW_TOKENS", "128"))
 # eliminated; 3.0-3.1k tok/s vs 2.9k at 64).
 BLOCK = int(os.environ.get("VFS_BENCH_BLOCK", "128"))
 DECODE_STEPS = int(os.environ.get("VFS_BENCH_DECODE_STEPS", "32"))
+BATCH = int(os.environ.get("VFS_BENCH_BATCH", "16"))
 
 HBM_BYTES_PER_S = 819e9  # v5e
+LAYERS = 12
 
 
-def build_engine():
+def build_engine(batch: int = BATCH):
     from vllm_from_scratch_tpu.core.config import (
         CacheConfig, EngineConfig, ModelConfig, QuantConfig, SchedulerConfig,
     )
@@ -39,7 +44,7 @@ def build_engine():
 
     return LLMEngine(EngineConfig(
         model=ModelConfig(
-            vocab_size=32000, hidden_size=1024, num_layers=12,
+            vocab_size=32000, hidden_size=1024, num_layers=LAYERS,
             num_heads=16, num_kv_heads=16, max_position=2048,
             intermediate_size=2816,
             kv_lora_rank=256, qk_rope_head_dim=32, qk_nope_head_dim=64,
@@ -47,11 +52,15 @@ def build_engine():
             num_experts=16, top_k=2, num_shared_experts=1,
             dtype="bfloat16",
         ),
-        cache=CacheConfig(block_size=BLOCK, num_blocks=16384 // BLOCK,
+        # 1024 token slots per sequence: room for 512+128 used plus page
+        # granularity; scales the pool with the batch (B=16 -> 16384 slots,
+        # the r2 configuration).
+        cache=CacheConfig(block_size=BLOCK, num_blocks=batch * 1024 // BLOCK,
                           kv_quant="int8"),
         # decode_steps 32: >=3 measured macro-step windows per run, so the
         # decode rate isn't a single-window measurement.
-        scheduler=SchedulerConfig(max_num_seqs=16, max_num_batched_tokens=2048,
+        scheduler=SchedulerConfig(max_num_seqs=batch,
+                                  max_num_batched_tokens=2048,
                                   decode_steps=DECODE_STEPS),
         # scope="experts" measured a wash on v5e (probe_step: 8.71 vs
         # 8.58 ms — the extra bf16 dense bytes cancel the convert savings),
@@ -60,7 +69,8 @@ def build_engine():
     ))
 
 
-def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True) -> dict:
+def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True,
+               batch: int = BATCH) -> dict:
     """Build + warm the midsize engine, measure decode throughput.
 
     Returns {decode_tps, p50_ttft_ms, kv_usage_peak, param_bytes,
@@ -69,7 +79,7 @@ def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True) -> dict:
 
     from vllm_from_scratch_tpu.core.config import SamplingParams
 
-    eng = build_engine()
+    eng = build_engine(batch)
     param_bytes = sum(
         x.size * x.dtype.itemsize
         for x in jax.tree.leaves(eng.params) if hasattr(x, "dtype")
@@ -80,14 +90,14 @@ def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True) -> dict:
     rng = np.random.RandomState(0)
     sp = SamplingParams(max_new_tokens=new_tokens, temperature=0.0,
                         ignore_eos=True)
-    prompts = [list(rng.randint(1, 31999, 512)) for _ in range(16)]
+    prompts = [list(rng.randint(1, 31999, 512)) for _ in range(batch)]
     t0 = time.perf_counter()
     eng.generate([list(p) for p in prompts], sp)  # warm/compile
     if verbose:
         print(f"warmup (incl. compile): {time.perf_counter()-t0:.1f} s",
               flush=True)
 
-    prompts = [list(rng.randint(1, 31999, 512)) for _ in range(16)]
+    prompts = [list(rng.randint(1, 31999, 512)) for _ in range(batch)]
     t0 = time.perf_counter()
     ids = [eng.add_request(p, sp) for p in prompts]
     first, decode_t0, decode_toks, kv_peak = {}, None, 0, 0.0
@@ -109,7 +119,7 @@ def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True) -> dict:
 
     # HBM accounting: every decode step streams the full weights plus each
     # request's latent-KV context (int8 latents + rope + 8 scale bytes).
-    B, L = 16, 12
+    B, L = batch, LAYERS
     mean_ctx = 512 + new_tokens / 2
     kv_bytes = B * mean_ctx * (256 + 32 + 8) * L
     step_time = B / decode_tps
@@ -124,6 +134,7 @@ def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True) -> dict:
               f"{1000*step_time:.2f} ms/step = {hbm_util:.1f}% of "
               f"{HBM_BYTES_PER_S/1e9:.0f} GB/s roofline", flush=True)
     return {
+        "batch": batch,
         "decode_tps": round(decode_tps, 1),
         "p50_ttft_ms": round(1000 * ttft[len(ttft) // 2], 1),
         "kv_usage_peak": round(kv_peak, 3),
