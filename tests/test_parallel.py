@@ -16,6 +16,7 @@ from vllm_from_scratch_tpu.core.config import (
     EngineConfig,
     ModelConfig,
     ParallelConfig,
+    QuantConfig,
     SamplingParams,
     SchedulerConfig,
 )
@@ -344,6 +345,31 @@ class TestContextParallelServing:
         base = LLMEngine(self._mla_cfg()).generate(prompts, GREEDY)
         out = LLMEngine(cfg).generate(prompts, GREEDY)
         assert list(out.values()) == list(base.values())
+
+    def test_cp2_tp2_matches_single_device(self):
+        """CP x TP composition (VERDICT r2 #5; ref sizes PCP/DCP alongside
+        TP, BLOG_PART3_V2.md:709-768): cache slots shard over "cp", q_b/wo
+        heads shard over "tp" within each cp rank."""
+        prompts = [list(range(1, 101)), [5, 6, 7]]
+        base = LLMEngine(self._mla_cfg()).generate(prompts, GREEDY)
+        cptp = LLMEngine(
+            self._mla_cfg(ParallelConfig(cp_size=2, tp_size=2))
+        ).generate(prompts, GREEDY)
+        assert list(base.values()) == list(cptp.values())
+
+    def test_cp2_tp2_int8_weights_and_latents(self):
+        """The quantized serving configuration composes too: INT8 weights
+        shard per-head over tp (quant-aware specs) and INT8 latent pages
+        shard over cp."""
+        prompts = [list(range(1, 80))]
+        base_cfg = self._mla_cfg(kv_quant="int8").replace(
+            quant=QuantConfig(weight_quant="int8"))
+        cptp_cfg = self._mla_cfg(
+            ParallelConfig(cp_size=2, tp_size=2), kv_quant="int8"
+        ).replace(quant=QuantConfig(weight_quant="int8"))
+        base = LLMEngine(base_cfg).generate(prompts, GREEDY)
+        out = LLMEngine(cptp_cfg).generate(prompts, GREEDY)
+        assert list(base.values()) == list(out.values())
 
 
 class TestEPLB:

@@ -130,6 +130,111 @@ class TestPageMovement:
         assert list(out.values()) == list(cold.values())
 
 
+class TestShardedEnginePD:
+    """PD across SHARDED engines (VERDICT r2 #7; ref TP-layout constraints
+    on KV transfer, BLOG_PART2_V2.md:322-380): pages publish as per-shard
+    granules keyed by PoolKey (tp_rank / pcp_rank / dcp_rank coords), the
+    pull side reassembles, and outputs stay exact."""
+
+    def _sharded_engine(self, mla=False, **pkw):
+        from vllm_from_scratch_tpu.core.config import ParallelConfig
+
+        kw = dict(vocab_size=128, hidden_size=64, num_layers=2,
+                  num_heads=4, num_kv_heads=4, max_position=256,
+                  intermediate_size=64)
+        if mla:
+            kw.update(kv_lora_rank=16, qk_rope_head_dim=8,
+                      qk_nope_head_dim=16, v_head_dim=16)
+        return LLMEngine(EngineConfig(
+            model=ModelConfig(**kw),
+            cache=CacheConfig(block_size=16, num_blocks=64, kv_quant="int8"),
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=128),
+            parallel=ParallelConfig(**pkw),
+        ))
+
+    def _worker(self, eng, node, meta, store):
+        conn = KVConnector(node, meta, TransferEngine(node), eng.block_size)
+        return PDWorker(eng, conn, store)
+
+    def test_tp2_publish_tp2_pull_exact(self):
+        """GQA cache head-sharded over tp2 on both sides: granules carry
+        tp_rank coords; decode output == cold single-device output."""
+        from vllm_from_scratch_tpu.distributed.metadata import PoolKey
+
+        meta, store = GlobalMetadataServer(), PageStore()
+        wa = self._worker(self._sharded_engine(tp_size=2), 0, meta, store)
+        wb = self._worker(self._sharded_engine(tp_size=2), 1, meta, store)
+        assert (wa.tp_shards, wa.cp_shards) == (2, 1)
+        cold = make_engine().generate([PROMPT], GREEDY)
+
+        out_a = wa.generate([PROMPT], GREEDY)
+        keys = store.keys()
+        assert any(isinstance(k, PoolKey) and k.tp_rank == 1 for k in keys)
+
+        assert wb.pull_prefix(PROMPT) >= 32
+        out_b = wb.engine.generate([PROMPT], GREEDY)
+        assert wb.engine.kv_mgr.hit_rate > 0
+        assert list(out_b.values()) == list(cold.values())
+        assert list(out_a.values()) == list(cold.values())
+
+    def test_cp2_publish_cp2_pull_exact(self):
+        """MLA latent cache slot-sharded over cp2: granules carry pcp/dcp
+        coords and the interleaved token order reassembles exactly."""
+        from vllm_from_scratch_tpu.distributed.metadata import PoolKey
+
+        meta, store = GlobalMetadataServer(), PageStore()
+        wa = self._worker(self._sharded_engine(mla=True, cp_size=2),
+                          0, meta, store)
+        wb = self._worker(self._sharded_engine(mla=True, cp_size=2),
+                          1, meta, store)
+        assert (wa.tp_shards, wa.cp_shards) == (1, 2)
+        cold = make_engine(mla=True).generate([PROMPT], GREEDY)
+
+        wa.generate([PROMPT], GREEDY)
+        keys = store.keys()
+        assert any(isinstance(k, PoolKey) and k.dcp_rank == 1 for k in keys)
+
+        assert wb.pull_prefix(PROMPT) >= 32   # one 32-token virtual block
+        out = wb.engine.generate([PROMPT], GREEDY)
+        assert wb.engine.kv_mgr.hit_rate > 0
+        assert list(out.values()) == list(cold.values())
+
+    def test_cp2_tp2_publish_pull_exact(self):
+        """The composed layout (cp2 x tp2, MLA) round-trips too."""
+        meta, store = GlobalMetadataServer(), PageStore()
+        wa = self._worker(
+            self._sharded_engine(mla=True, cp_size=2, tp_size=2),
+            0, meta, store)
+        wb = self._worker(
+            self._sharded_engine(mla=True, cp_size=2, tp_size=2),
+            1, meta, store)
+        cold = make_engine(mla=True).generate([PROMPT], GREEDY)
+        wa.generate([PROMPT], GREEDY)
+        assert wb.pull_prefix(PROMPT) >= 32
+        out = wb.engine.generate([PROMPT], GREEDY)
+        assert list(out.values()) == list(cold.values())
+
+    def test_split_merge_roundtrip(self):
+        """split_pages/merge_pages invert for every layout factor pair."""
+        from vllm_from_scratch_tpu.distributed.pd import (
+            merge_pages, split_pages,
+        )
+
+        rng = np.random.RandomState(0)
+        # KVCache-shaped leaves: [L, rows, H, D] + [L, rows, H] scales.
+        pages = {
+            "k": jnp.asarray(rng.randn(2, 64, 4, 8), jnp.float32),
+            "k_scale": jnp.asarray(rng.randn(2, 64, 4), jnp.float32),
+        }
+        for tp, cp in [(1, 1), (2, 1), (1, 2), (2, 2), (1, 4)]:
+            shards = split_pages(pages, tp, cp, block_size=16 * cp)
+            assert len(shards) == tp * cp
+            back = merge_pages(shards, tp, cp, block_size=16 * cp)
+            for x, y in zip(jax.tree.leaves(pages), jax.tree.leaves(back)):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 class TestAsyncAdmission:
     def test_remote_pull_overlaps_local_serving(self):
         """A request waiting on a slow remote KV pull must not block other

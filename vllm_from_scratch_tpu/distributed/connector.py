@@ -30,17 +30,21 @@ class KVConnector:
         model: str = "",
         tp_rank: int = 0,
         pp_rank: int = 0,
+        pcp_rank: int = 0,
+        dcp_rank: int = 0,
     ):
         self.node_id = node_id
         self.meta = metadata_server
         self.engine = transfer_engine
         self.block_size = block_size
         # Parallel-layout coordinates baked into every pool key: KV shards
-        # are only reusable between nodes with identical (model, tp, pp)
-        # layout (PoolKey; BLOG_PART2B_V2.md:1247-1291, 1724-1737).
+        # are only reusable between nodes with identical (model, tp, pp,
+        # pcp, dcp) layout (PoolKey; BLOG_PART2B_V2.md:1247-1291, 1724-1737).
         self.model = model
         self.tp_rank = tp_rank
         self.pp_rank = pp_rank
+        self.pcp_rank = pcp_rank
+        self.dcp_rank = dcp_rank
         self._lock = threading.Lock()
         # blocks whose KV bytes are already on this node
         self.local_blocks: Set[Hashable] = set()
@@ -55,9 +59,11 @@ class KVConnector:
         }
 
     def _key(self, block_hash: Hashable) -> Hashable:
-        if not self.model and self.tp_rank == 0 and self.pp_rank == 0:
+        if (not self.model and self.tp_rank == 0 and self.pp_rank == 0
+                and self.pcp_rank == 0 and self.dcp_rank == 0):
             return block_hash  # default layout: raw hash (reference behavior)
-        return PoolKey(block_hash, self.model, self.tp_rank, self.pp_rank)
+        return PoolKey(block_hash, self.model, self.tp_rank, self.pp_rank,
+                       self.pcp_rank, self.dcp_rank)
 
     # ---- scheduler-facing API ---------------------------------------------
 

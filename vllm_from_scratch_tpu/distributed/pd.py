@@ -44,22 +44,129 @@ def _block_slots(block_ids: Sequence[int], block_size: int) -> jnp.ndarray:
     return (ids[:, None] * block_size + offs).reshape(-1)
 
 
+def _physical_slots(engine, block_ids: Sequence[int]) -> jnp.ndarray:
+    """Cache-row indices of the given (virtual) blocks, in TOKEN order.
+
+    For a cp engine the host addresses VIRTUAL blocks of ``block_size * cp``
+    tokens while the cache's slot axis is sharded over "cp" with the
+    interleaved split (parallel/cp_serving.py: token at virtual position p
+    lives on rank ``(p // bs) % cp`` at local slot ``vb * bs + p % bs``).
+    The returned indices walk that layout so extracted pages always come out
+    in canonical token order, independent of the source engine's layout —
+    the TP-layout transfer constraint the reference documents
+    (BLOG_PART2_V2.md:322-380) handled by construction.
+    """
+    import numpy as np
+
+    cp = getattr(engine.config.parallel, "cp_size", 1)
+    Vbs = engine.block_size
+    p = (np.asarray(list(block_ids))[:, None] * Vbs + np.arange(Vbs)).reshape(-1)
+    if cp == 1:
+        return jnp.asarray(p, jnp.int32)
+    bs = Vbs // cp
+    total_slots = jax.tree.leaves(engine.cache)[0].shape[1]
+    per_rank = total_slots // cp
+    vb, within = p // Vbs, p % Vbs
+    rank, off = within // bs, within % bs
+    return jnp.asarray(rank * per_rank + vb * bs + off, jnp.int32)
+
+
 def extract_kv_pages(engine, block_ids: Sequence[int]):
     """Gather the given blocks' rows from every cache leaf.
 
     Cache leaves are layer-stacked ``[L, num_slots, ...]``; returns the same
-    pytree with ``num_slots`` replaced by ``len(block_ids) * block_size``.
+    pytree with ``num_slots`` replaced by ``len(block_ids) * block_size``
+    rows in canonical token order (layout-aware: cp slot interleaving is
+    undone; tp head sharding is transparent under GSPMD global arrays).
     """
-    slots = _block_slots(block_ids, engine.block_size)
+    slots = _physical_slots(engine, block_ids)
     return jax.tree.map(lambda leaf: leaf[:, slots], engine.cache)
 
 
 def inject_kv_pages(engine, block_ids: Sequence[int], pages) -> None:
     """Scatter previously extracted pages into this engine's blocks."""
-    slots = _block_slots(block_ids, engine.block_size)
+    slots = _physical_slots(engine, block_ids)
     engine.cache = jax.tree.map(
         lambda leaf, rows: leaf.at[:, slots].set(rows), engine.cache, pages
     )
+
+
+# ---- per-shard page granules (PoolKey tp/pcp/dcp addressing) ----------------
+
+def kv_shard_layout(engine) -> Tuple[int, int]:
+    """(tp_shards, cp_shards) of this engine's KV-cache layout.
+
+    Mirrors parallel/sharding.py cache_shardings: the MHA K/V cache shards
+    its kv-head axis over "tp"; the MLA latent cache is head-less (tp plays
+    no role in its pages; TPLA's rank-sharded form is exchanged canonically);
+    the slot axis shards over "cp".  These factors decide how many PoolKey
+    shard granules a block's pages split into (BLOG_PART2B_V2.md:1247-1291:
+    model@pcp@dcp@tp_rank@pp_rank@hash)."""
+    par = engine.config.parallel
+    m = engine.config.model
+    tp = 1 if m.is_mla else par.tp_size
+    return tp, par.cp_size
+
+
+def split_pages(pages, tp: int, cp: int, block_size: int):
+    """Canonical pages -> {(tp_rank, cp_rank): shard granule}.
+
+    tp slices the kv-head axis (axis 2 of every KVCache leaf); cp slices
+    token rows (axis 1) by the interleaved split (rows reshape to
+    ``[nb, cp, bs]``; rank j owns index j) — each granule is exactly the
+    bytes the corresponding device shard holds, so a multi-host deployment
+    transfers granules without any reshard.  ``block_size`` is the VIRTUAL
+    block size (``bs * cp``)."""
+    if tp == 1 and cp == 1:
+        return {(0, 0): pages}
+    bs = block_size // cp
+
+    def cut(leaf, i: int, j: int):
+        if cp > 1:
+            L, R = leaf.shape[0], leaf.shape[1]
+            leaf = leaf.reshape((L, R // (cp * bs), cp, bs) + leaf.shape[2:])
+            leaf = leaf[:, :, j]
+            leaf = leaf.reshape((L, -1) + leaf.shape[3:])
+        if tp > 1:
+            h = leaf.shape[2] // tp
+            leaf = leaf[:, :, i * h:(i + 1) * h]
+        return leaf
+
+    return {
+        (i, j): jax.tree.map(lambda x, i=i, j=j: cut(x, i, j), pages)
+        for i in range(tp) for j in range(cp)
+    }
+
+
+def merge_pages(shards: Dict[Tuple[int, int], object], tp: int, cp: int,
+                block_size: int):
+    """Inverse of ``split_pages``: reassemble canonical pages."""
+    if tp == 1 and cp == 1:
+        return shards[(0, 0)]
+    bs = block_size // cp
+
+    def merge_one(*leaves):
+        grid = {}
+        it = iter(leaves)
+        for i in range(tp):
+            for j in range(cp):
+                grid[(i, j)] = next(it)
+        cols = []
+        for j in range(cp):
+            col = (grid[(0, j)] if tp == 1 else
+                   jnp.concatenate([grid[(i, j)] for i in range(tp)], axis=2))
+            cols.append(col)
+        if cp == 1:
+            return cols[0]
+        # rows [nb*bs] per rank -> interleave back to [nb, cp, bs] token order
+        stk = jnp.stack(cols, axis=2)                     # [L, nb*bs, cp, ...]
+        L = stk.shape[0]
+        stk = stk.reshape((L, -1, bs, cp) + stk.shape[3:])
+        stk = stk.swapaxes(2, 3)                          # [L, nb, cp, bs, ...]
+        return stk.reshape((L, -1) + stk.shape[4:])
+
+    ordered = [shards[(i, j)] for i in range(tp) for j in range(cp)]
+    return jax.tree.map(merge_one, *ordered)
 
 
 class PageStore:
@@ -82,6 +189,10 @@ class PageStore:
         with self._lock:
             self._pages.pop(key, None)
 
+    def keys(self) -> List[Hashable]:
+        with self._lock:
+            return list(self._pages)
+
     def __len__(self) -> int:
         with self._lock:
             return len(self._pages)
@@ -94,6 +205,11 @@ class PDWorker:
         self.engine = engine
         self.connector = connector
         self.store = store
+        # Page granularity follows the engine's cache layout: one granule
+        # per (tp_rank, cp_rank) shard, addressed by PoolKey coords
+        # (BLOG_PART2B_V2.md:1247-1291).  Trivial layout => raw-hash keys,
+        # the single-granule fast path.
+        self.tp_shards, self.cp_shards = kv_shard_layout(engine)
         self._next = 0
         self._alock = threading.Lock()
         self._pending: List[dict] = []  # async submits awaiting remote KV
@@ -118,9 +234,39 @@ class PDWorker:
         if not pairs:
             return 0
         for h, bid in pairs:
-            self.store.put(self.connector._key(h), extract_kv_pages(eng, [bid]))
+            self._store_shards(h, extract_kv_pages(eng, [bid]))
         self.connector.publish_kv([h for h, _ in pairs])
         return len(pairs)
+
+    def _shard_key(self, block_hash, tp_rank: int, cp_rank: int):
+        """Pool key for one (tp, cp) shard granule of a block's pages."""
+        if self.tp_shards == 1 and self.cp_shards == 1:
+            return self.connector._key(block_hash)
+        from .metadata import PoolKey
+
+        c = self.connector
+        return PoolKey(block_hash, c.model, tp_rank, c.pp_rank,
+                       cp_rank, cp_rank)
+
+    def _store_shards(self, block_hash, pages) -> None:
+        """Split canonical pages into per-shard granules and store each
+        under its PoolKey coords."""
+        granules = split_pages(pages, self.tp_shards, self.cp_shards,
+                               self.engine.block_size)
+        for (i, j), g in granules.items():
+            self.store.put(self._shard_key(block_hash, i, j), g)
+
+    def _fetch_shards(self, block_hash):
+        """Fetch every shard granule of a block; None if any is missing."""
+        shards = {}
+        for i in range(self.tp_shards):
+            for j in range(self.cp_shards):
+                g = self.store.get(self._shard_key(block_hash, i, j))
+                if g is None:
+                    return None
+                shards[(i, j)] = g
+        return merge_pages(shards, self.tp_shards, self.cp_shards,
+                           self.engine.block_size)
 
     # ---- pull (decode side / admission) --------------------------------------
 
@@ -152,7 +298,7 @@ class PDWorker:
         for h in hashes[:n_blocks]:
             if eng.kv_mgr.pool.get_cached_block(h) is not None:
                 continue
-            pages = self.store.get(self.connector._key(h))
+            pages = self._fetch_shards(h)
             if pages is None:
                 break  # chain break: stop at the first unfetchable block
             new_hashes.append(h)
@@ -335,7 +481,7 @@ class PDWorker:
                                     bytes_per_block=per_block_bytes)
                 results = pipe.wait_all()
                 if all(r is not None and r.success for r in results):
-                    self.store.put(self.connector._key(h), pages)
+                    self._store_shards(h, pages)
                     self.connector.publish_kv([h])
                 self._pub_q.task_done()
 

@@ -133,11 +133,21 @@ def cp_mla_attention(
 
     cache_spec = MLACache(c=P(axis, None), kr=P(axis, None),
                           c_scale=P(axis), kr_scale=P(axis))
+    # cp x tp composition (BLOG_PART3_V2.md:709-768 sizes PCP/DCP alongside
+    # TP): heads shard over "tp" within each cp rank.  Attention is
+    # independent per head, so the body is unchanged — the flash merge stays
+    # a cp-axis collective and the tp psum happens outside in wo's
+    # row-parallel matmul.  The latent write is head-less: c/kr replicate
+    # over tp, and every tp rank performs the identical scatter.
+    tp = "tp" if mesh.shape.get("tp", 1) > 1 else None
+    head_spec = P(None, None, tp, None)                   # [B, T, H, d]
+    w_spec = P(tp, None, None)                            # [H, ., .]
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), cache_spec, P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), cache_spec),
+        in_specs=(head_spec, head_spec, P(), P(), cache_spec, P(), P(), P(),
+                  P(), w_spec, w_spec),
+        out_specs=(head_spec, cache_spec),
         check_vma=False,
     )
     return fn(q_nope, q_rope, c_new, kr_new, cache_l, slots, block_tables,

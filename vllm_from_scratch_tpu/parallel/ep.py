@@ -64,18 +64,22 @@ def ep_moe_ffn(
         )
         return jax.lax.psum(out, "tp")
 
+    # Token rows shard over "dp" when the mesh has one; on a ("cp", "tp")
+    # mesh they replicate over "cp" (each cp rank computes the full MoE —
+    # activations are tiny next to the cp-sharded KV).
+    row = "dp" if "dp" in mesh.shape else None
     fn = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(
-            P("dp", None),            # tokens: dp rows, replicated over tp
+            P(row, None),             # tokens: dp rows, replicated over tp
             P(),                      # router gate: replicated
             P(),                      # expert_map: replicated
             _expert_spec(wg),         # expert slices (float or int8+scale)
             _expert_spec(wu),
             _expert_spec(wd),
         ),
-        out_specs=P("dp", None),
+        out_specs=P(row, None),
         check_vma=False,
     )
     return fn(x, moe_params["gate"], expert_map, wg, wu, wd)

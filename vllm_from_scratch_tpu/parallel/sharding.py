@@ -38,13 +38,18 @@ from ..core.config import ModelConfig, ParallelConfig
 def make_mesh(parallel: ParallelConfig, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if parallel.cp_size > 1:
-        # Context parallelism (parallel/cp_serving.py): a 1-D "cp" mesh.
-        assert parallel.dp_size == parallel.tp_size == parallel.pp_size == 1, (
-            "cp_size > 1 requires dp_size == tp_size == pp_size == 1"
+        # Context parallelism (parallel/cp_serving.py): ("cp", "tp") mesh —
+        # the latent cache's slot axis shards over "cp" while q_b/wo heads
+        # shard over "tp" within each cp rank (ref sizes PCP/DCP alongside
+        # TP, BLOG_PART3_V2.md:709-768).  tp=1 degenerates to the 1-D case.
+        assert parallel.dp_size == parallel.pp_size == 1, (
+            "cp_size > 1 requires dp_size == pp_size == 1"
         )
-        n = parallel.cp_size
+        n = parallel.cp_size * parallel.tp_size
         assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-        return Mesh(np.asarray(devices[:n]).reshape(n), ("cp",))
+        dev = np.asarray(devices[:n]).reshape(parallel.cp_size,
+                                              parallel.tp_size)
+        return Mesh(dev, ("cp", "tp"))
     if parallel.pp_size > 1:
         # Pipeline stages x tensor parallelism: a 2-D ("pp", "tp") mesh.
         # The pipeline schedule is manual over "pp" (shard_map axis_names);
@@ -226,7 +231,17 @@ def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh,
         # too, and q and scale both keep the leading [L] stage axis.)
         return jax.device_put(params, specs)
     if "cp" in mesh.shape:
-        # CP shards only the KV cache; params replicate on every cp rank.
+        if mesh.shape.get("tp", 1) > 1:
+            # cp x tp: the Megatron tp layout applies within each cp rank
+            # (specs mention only "tp", so every array replicates over
+            # "cp"); the KV cache is what shards over "cp" (shard_cache).
+            with_emap = (cfg.is_moe
+                         and "expert_map" in params["layers"].get("moe", {}))
+            specs = _quant_aware(
+                param_shardings(cfg, mesh, mla_kv,
+                                with_expert_map=with_emap), params)
+            return jax.device_put(params, specs)
+        # 1-D cp: params replicate on every cp rank.
         rep = _ns(mesh)
         return jax.device_put(params, jax.tree.map(lambda _: rep, params))
     with_emap = cfg.is_moe and "expert_map" in params["layers"].get("moe", {})
