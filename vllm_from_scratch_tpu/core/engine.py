@@ -85,12 +85,10 @@ class LLMEngine:
         # virtual id addresses one physical block on every cp rank
         # (cp_virtual_block_size, BLOG_PART3_V2.md:709-768).  num_blocks is
         # per-rank, so capacity scales cp x.
+        # MLA latents (cp_mla_attention) and GQA K/V pages (cp_gqa_attention)
+        # both serve context-parallel; the flash-merged partial-attention
+        # design is head-layout agnostic.
         cp = config.parallel.cp_size
-        if cp > 1:
-            assert mcfg.is_mla, (
-                "cp_size > 1 serves the MLA latent cache only "
-                "(BLOG_PART3_V2.md:709-768)"
-            )
         self.block_size = ccfg.block_size * cp  # virtual (host-side slots)
 
         self.kv_mgr = KVCacheManager(

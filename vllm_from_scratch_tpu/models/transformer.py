@@ -235,7 +235,8 @@ def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
                 allow_pallas=(mla_kv != "tpla"), mesh=mesh,
             )
         else:
-            a, cache_l = _attn(layer, cache_l, h, batch, cfg, rope, block_size)
+            a, cache_l = _attn(layer, cache_l, h, batch, cfg, rope, block_size,
+                               mesh=mesh)
         h = h + a
         xn = rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps)
         counts_l = None
@@ -290,8 +291,12 @@ def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
     return layer_step
 
 
-def _attn(layer, cache_l, h, batch, cfg, rope, block_size):
-    """Pre-norm attention block with paged KV read/write."""
+def _attn(layer, cache_l, h, batch, cfg, rope, block_size, mesh=None):
+    """Pre-norm attention block with paged KV read/write.
+
+    When ``mesh`` carries a "cp" axis the write+attend runs context-parallel
+    over the cp-sharded paged cache (parallel/cp_serving.cp_gqa_attention —
+    GQA long context, VERDICT r2 #6)."""
     B, T, H = h.shape
     D, Hq, Hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
     x = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
@@ -300,6 +305,18 @@ def _attn(layer, cache_l, h, batch, cfg, rope, block_size):
     k, v = kv[:, :, :Hkv], kv[:, :, Hkv:]
     q = apply_rope(q, batch.positions, rope)
     k = apply_rope(k, batch.positions, rope)
+
+    if mesh is not None and mesh.shape.get("cp", 1) > 1:
+        from ..parallel.cp_serving import cp_gqa_attention
+
+        out, cache_l = cp_gqa_attention(
+            q, k.reshape(B * T, Hkv, D), v.reshape(B * T, Hkv, D),
+            cache_l, batch.slots.reshape(B * T),
+            batch.block_tables, batch.ctx_lens, batch.q_lens, mesh,
+            block_size=block_size, sm_scale=D ** -0.5,
+        )
+        return (mm(out.astype(h.dtype).reshape(B, T, Hq * D), layer["wo"]),
+                cache_l)
 
     cache_l = write_kv_cache(
         cache_l,

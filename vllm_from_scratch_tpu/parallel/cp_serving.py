@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops.attention import KVCache, write_kv_cache
 from ..ops.mla_attention import MLACache, write_mla_cache
 from ..ops.quant import _EPS
 
@@ -152,3 +153,101 @@ def cp_mla_attention(
     )
     return fn(q_nope, q_rope, c_new, kr_new, cache_l, slots, block_tables,
               ctx_lens, q_lens, w_uk, w_uv)
+
+
+def cp_gqa_attention(
+    q: jax.Array,             # [B, T, Hq, D]
+    k_new: jax.Array,         # [B*T, Hkv, D] rows to write
+    v_new: jax.Array,         # [B*T, Hkv, D]
+    cache_l: KVCache,         # per-layer cache, slot axis sharded over "cp"
+    slots: jax.Array,         # [B*T] int32 VIRTUAL slots
+    block_tables: jax.Array,  # [B, N] int32 virtual block ids
+    ctx_lens: jax.Array,      # [B]
+    q_lens: jax.Array,        # [B]
+    mesh: Mesh,
+    *,
+    block_size: int,          # PHYSICAL per-rank block size
+    sm_scale: float,
+    axis: str = "cp",
+) -> Tuple[jax.Array, KVCache]:
+    """GQA long context: write-then-attend over the cp-sharded paged K/V
+    cache (VERDICT r2 #6; ref mechanism: ring attention,
+    BLOG_PART3_V2.md:676-681).
+
+    Same virtual-block layout and flash merge as ``cp_mla_attention`` — the
+    merge is per kv-head-group, so GQA works identically: each rank holds
+    the interleaved 1/cp of every sequence's K/V pages, computes partial
+    attention with fused INT8 dequant, and one pmax + two psums over ICI
+    produce the exact softmax.  Strictly less memory traffic than ring
+    attention's rotating K/V (which moves the full context through every
+    rank); kv-heads additionally shard over "tp" when the mesh has one.
+    """
+    B, T, Hq, D = q.shape
+    bs = block_size
+    n = mesh.shape[axis]
+    Vbs = bs * n
+
+    def local(q, kn, vn, cache, slots, bt, ctx, ql):
+        me = jax.lax.axis_index(axis)
+
+        # ---- write the owned subset of this chunk ----
+        vb = slots // Vbs
+        within = slots % Vbs
+        owned = (within // bs) == me
+        local_slot = jnp.where(owned, vb * bs + within % bs, 0)
+        cache = write_kv_cache(cache, kn, vn, local_slot)
+
+        # ---- partial attention over the local context slice ----
+        N = bt.shape[1]
+        offs = jnp.arange(bs, dtype=bt.dtype)
+        slot_idx = (bt[:, :, None] * bs + offs).reshape(B, N * bs)
+        kv_pos = (
+            jnp.arange(N, dtype=jnp.int32)[:, None] * Vbs + me * bs
+            + offs[None, :]
+        ).reshape(N * bs)[None, None, :]                    # [1, 1, S_l]
+
+        Hkv = cache.k.shape[1]
+        G = q.shape[2] // Hkv
+        k = jnp.take(cache.k, slot_idx, axis=0, mode="clip")  # [B,S_l,Hkv,D]
+        v = jnp.take(cache.v, slot_idx, axis=0, mode="clip")
+        qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
+        scores = jnp.einsum("btkgd,bskd->bkgts", qf, k.astype(jnp.float32))
+        if cache.quantized:
+            ks = jnp.take(cache.k_scale, slot_idx, axis=0, mode="clip")
+            scores = scores * ks.transpose(0, 2, 1)[:, :, None, None, :]
+        scores = scores * sm_scale                          # [B,Hkv,G,T,S_l]
+
+        q_pos = (ctx - ql)[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        mask = (kv_pos <= q_pos[:, :, None]) & (kv_pos < ctx[:, None, None])
+        mask_b = mask[:, None, None]                        # [B,1,1,T,S_l]
+        scores = jnp.where(mask_b, scores, _NEG)
+        m = jnp.maximum(jnp.max(scores, axis=-1), _NEG)     # [B,Hkv,G,T]
+        e = jnp.where(mask_b, jnp.exp(scores - m[..., None]), 0.0)
+        l = jnp.sum(e, axis=-1)                             # [B,Hkv,G,T]
+        if cache.quantized:
+            vs = jnp.take(cache.v_scale, slot_idx, axis=0, mode="clip")
+            e = e * vs.transpose(0, 2, 1)[:, :, None, None, :]
+        acc = jnp.einsum("bkgts,bskd->bkgtd", e, v.astype(jnp.float32))
+
+        # ---- flash merge across cp ranks (pmax + 2 psums over ICI) ----
+        m_g = jax.lax.pmax(m, axis)
+        scale = jnp.exp(m - m_g)
+        l_g = jax.lax.psum(l * scale, axis)
+        acc_g = jax.lax.psum(acc * scale[..., None], axis)
+        out = acc_g / jnp.maximum(l_g, _EPS)[..., None]     # [B,Hkv,G,T,D]
+        out = out.transpose(0, 3, 1, 2, 4).reshape(B, T, -1, D)
+        return out, cache
+
+    tp = "tp" if mesh.shape.get("tp", 1) > 1 else None
+    cache_spec = KVCache(k=P(axis, tp, None), v=P(axis, tp, None),
+                         k_scale=P(axis, tp), v_scale=P(axis, tp))
+    head_spec = P(None, None, tp, None)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(head_spec, P(None, tp, None), P(None, tp, None), cache_spec,
+                  P(), P(), P(), P()),
+        out_specs=(head_spec, cache_spec),
+        check_vma=False,
+    )
+    return fn(q, k_new, v_new, cache_l, slots, block_tables, ctx_lens, q_lens)

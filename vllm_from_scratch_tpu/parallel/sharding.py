@@ -266,13 +266,21 @@ def shard_cache(cache, cfg: ModelConfig, mesh: Mesh,
         stage = _ns(mesh, "pp")
         return jax.device_put(cache, jax.tree.map(lambda _: stage, cache))
     if "cp" in mesh.shape:
+        from ..ops.attention import KVCache
         from ..ops.mla_attention import MLACache
 
-        assert cfg.is_mla, "cp serving requires an MLA model"
         # [L, slots, ...]: the SLOT axis shards over cp (virtual blocks,
-        # parallel/cp_serving.py).
-        return jax.device_put(cache, MLACache(
-            c=_ns(mesh, None, "cp", None), kr=_ns(mesh, None, "cp", None),
-            c_scale=_ns(mesh, None, "cp"), kr_scale=_ns(mesh, None, "cp"),
+        # parallel/cp_serving.py); GQA kv-heads additionally shard over tp.
+        if cfg.is_mla:
+            return jax.device_put(cache, MLACache(
+                c=_ns(mesh, None, "cp", None), kr=_ns(mesh, None, "cp", None),
+                c_scale=_ns(mesh, None, "cp"), kr_scale=_ns(mesh, None, "cp"),
+            ))
+        tp = "tp" if mesh.shape.get("tp", 1) > 1 else None
+        return jax.device_put(cache, KVCache(
+            k=_ns(mesh, None, "cp", tp, None),
+            v=_ns(mesh, None, "cp", tp, None),
+            k_scale=_ns(mesh, None, "cp", tp),
+            v_scale=_ns(mesh, None, "cp", tp),
         ))
     return jax.device_put(cache, cache_shardings(cfg, mesh, mla_kv))
