@@ -787,7 +787,10 @@ class LLMEngine:
             tables[i, : len(req.block_ids)] = req.block_ids
             slots_k[i] = self.kv_mgr.slot_mapping(req, s0, K + 1)
 
-        sstate = make_sampling_state([it.request for it in scheduled], B_pad)
+        # Device-resident sampling state, re-staged only on batch change —
+        # same cache the plain decode path uses (_get_sstate); rebuilding it
+        # every spec step cost ~10 ms/step of tunnel latency.
+        sstate, _mode = self._get_sstate(scheduled, B_pad)
         self._rng, skey = jax.random.split(self._rng)
         if drafts is not None:
             d = np.zeros((B_pad, K), np.int32)

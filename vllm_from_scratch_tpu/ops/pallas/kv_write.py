@@ -86,10 +86,10 @@ def write_kv_cache_pallas(
         in_specs=[
             pl.BlockSpec((1, Hkv, D), row_in),       # k_new
             pl.BlockSpec((1, Hkv, D), row_in),       # v_new
-            pl.BlockSpec(memory_space=pltpu.ANY),    # aliased caches (unread)
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),       # aliased caches (unread)
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, Hkv, D), row_out),

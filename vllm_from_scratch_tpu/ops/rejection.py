@@ -85,20 +85,27 @@ def propose_ngram(tokens, n: int, k: int):
     tokens that followed it.  Returns a list of k ints, or None if the
     suffix never occurred before (or history is too short).
 
-    Host-side pure Python — runs on the request's token ids while the
-    device is busy; the proposals become a one-hot draft distribution for
-    the exact rejection sampler (q = delta => accept prob = p_target(d))."""
-    t = list(tokens)
-    if len(t) <= n:
+    Host-side — runs on the request's token ids while the device is busy;
+    the proposals become a one-hot draft distribution for the exact
+    rejection sampler (q = delta => accept prob = p_target(d)).  The match
+    scan is vectorized over numpy windows (n is 2-3), so the per-step host
+    cost stays O(len) at C speed even for long prompts."""
+    import numpy as np
+
+    t = np.asarray(list(tokens), dtype=np.int64)
+    L = int(t.shape[0])
+    if L <= n:
         return None
-    suffix = t[-n:]
-    # scan right-to-left for the most recent match that has a continuation
-    for i in range(len(t) - n - 1, -1, -1):
-        if t[i:i + n] == suffix:
-            cont = t[i + n : i + n + k]
-            if not cont:
-                return None
-            while len(cont) < k:       # pad short continuations by repeating
-                cont.append(cont[-1])
-            return cont
-    return None
+    suffix = t[L - n:]
+    W = L - n                       # candidate starts (i == W is the suffix)
+    match = np.ones(W, dtype=bool)
+    for j in range(n):
+        match &= t[j:j + W] == suffix[j]
+    idx = np.nonzero(match)[0]
+    if idx.size == 0:
+        return None
+    i = int(idx[-1])                # most recent earlier occurrence
+    cont = [int(c) for c in t[i + n : i + n + k]]
+    while len(cont) < k:            # pad short continuations by repeating
+        cont.append(cont[-1])
+    return cont
