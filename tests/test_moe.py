@@ -360,6 +360,92 @@ class TestFusedMoEKernel:
         tol = max(2e-5, 2e-2 * float(np.max(np.abs(np.asarray(ref)))))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=tol)
 
+    def _int4_pack(self, p):
+        from vllm_from_scratch_tpu.models.layers import (
+            quantize_linear4_half_in, quantize_linear4_half_out,
+        )
+
+        return {
+            "w_gate": quantize_linear4_half_in(p["w_gate"]),
+            "w_up": quantize_linear4_half_in(p["w_up"]),
+            "w_down": quantize_linear4_half_out(p["w_down"]),
+        }
+
+    def test_int4_matches_dequant_ragged(self):
+        """Fused INT4 (in-kernel nibble unpack, half-split packings) == XLA
+        dequantize + ragged_dot (VERDICT r2 weak #6)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vllm_from_scratch_tpu.models.layers import dequantize_linear
+        from vllm_from_scratch_tpu.models.moe import grouped_expert_ffn
+        from vllm_from_scratch_tpu.ops.pallas.moe_gemm import fused_moe_pallas
+
+        p, x, gs = self._data()
+        q = self._int4_pack(p)
+        ref = grouped_expert_ffn(
+            x, gs,
+            dequantize_linear(q["w_gate"], jnp.float32),
+            dequantize_linear(q["w_up"], jnp.float32),
+            dequantize_linear(q["w_down"], jnp.float32),
+        )
+        out = fused_moe_pallas(x, gs, q["w_gate"], q["w_up"], q["w_down"],
+                               tile_m=8, interpret=None)
+        tol = max(2e-5, 2e-2 * float(np.max(np.abs(np.asarray(ref)))))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=tol)
+
+    def test_int4_layer_stacked_in_kernel_select(self):
+        """Layer-stacked [L, E, ...] INT4 stacks with the scalar-prefetched
+        layer index — the engine's scan path."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vllm_from_scratch_tpu.models.layers import dequantize_linear
+        from vllm_from_scratch_tpu.models.moe import (
+            grouped_expert_ffn, init_moe_params,
+        )
+        from vllm_from_scratch_tpu.ops.pallas.moe_gemm import fused_moe_pallas
+
+        E, D, F, M, L = 8, 32, 64, 50, 3
+        stacks = [init_moe_params(jax.random.PRNGKey(i), D, F, E)
+                  for i in range(L)]
+        p = jax.tree.map(lambda *xs: jnp.stack(xs), *stacks)
+        q = self._int4_pack(p)
+        x = jax.random.normal(jax.random.PRNGKey(9), (M, D), jnp.float32)
+        gs = jnp.asarray([7, 0, 13, 5, 0, 11, 9, 5], jnp.int32)
+        for li in (0, 2):
+            ref = grouped_expert_ffn(
+                x, gs,
+                dequantize_linear(q["w_gate"], jnp.float32)[li],
+                dequantize_linear(q["w_up"], jnp.float32)[li],
+                dequantize_linear(q["w_down"], jnp.float32)[li],
+            )
+            out = fused_moe_pallas(
+                x, gs, q["w_gate"], q["w_up"], q["w_down"],
+                layer_idx=jnp.asarray(li), tile_m=8, interpret=None)
+            tol = max(2e-5, 2e-2 * float(np.max(np.abs(np.asarray(ref)))))
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=tol)
+
+    def test_int4_half_layouts_roundtrip(self):
+        """half_in / half_out packings dequantize to the same values as the
+        generic pair packing (same 4-bit grid, different placement)."""
+        import jax
+        import numpy as np
+
+        from vllm_from_scratch_tpu.models.layers import (
+            dequantize_linear, quantize_linear4, quantize_linear4_half_in,
+            quantize_linear4_half_out,
+        )
+
+        w = jax.random.normal(jax.random.PRNGKey(3), (6, 16, 8))
+        a = dequantize_linear(quantize_linear4(w), np.float32)
+        b = dequantize_linear(quantize_linear4_half_in(w), np.float32)
+        c = dequantize_linear(quantize_linear4_half_out(w), np.float32)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
     def test_moe_align_positions(self):
         import jax
         import jax.numpy as jnp
@@ -384,13 +470,14 @@ class TestMosaicConstraintShapes:
     not a test).  Interpret-mode on CPU; REAL Mosaic when the suite runs with
     VFS_TPU_REAL_DEVICE=1 (interpret=None resolves by backend)."""
 
-    def _check(self, E, D, F, M, **kw):
+    def _check(self, E, D, F, M, bits=8, **kw):
         import jax
         import jax.numpy as jnp
         import numpy as np
 
         from vllm_from_scratch_tpu.models.layers import (
-            dequantize_linear, quantize_linear,
+            dequantize_linear, quantize_linear, quantize_linear4_half_in,
+            quantize_linear4_half_out,
         )
         from vllm_from_scratch_tpu.models.moe import (
             grouped_expert_ffn, init_moe_params,
@@ -398,7 +485,12 @@ class TestMosaicConstraintShapes:
         from vllm_from_scratch_tpu.ops.pallas.moe_gemm import fused_moe_pallas
 
         p = init_moe_params(jax.random.PRNGKey(0), D, F, E)
-        q = {k: quantize_linear(p[k]) for k in ("w_gate", "w_up", "w_down")}
+        if bits == 4:
+            q = {"w_gate": quantize_linear4_half_in(p["w_gate"]),
+                 "w_up": quantize_linear4_half_in(p["w_up"]),
+                 "w_down": quantize_linear4_half_out(p["w_down"])}
+        else:
+            q = {k: quantize_linear(p[k]) for k in ("w_gate", "w_up", "w_down")}
         x = jax.random.normal(jax.random.PRNGKey(1), (M, D), jnp.float32)
         per = [M // E] * E
         per[0] += M - sum(per)
@@ -429,3 +521,13 @@ class TestMosaicConstraintShapes:
     def test_large_m_default_tiles(self):
         """M past the decode threshold exercises tile_m=128."""
         self._check(E=4, D=128, F=384, M=512)
+
+    def test_int4_midsize_f_shape(self):
+        """INT4 half-split packings at the midsize F=2816: packed D/2=128
+        rows (sublane dim) + blocked F; in-register nibble unpack on real
+        Mosaic when TPU-gated."""
+        self._check(E=4, D=256, F=2816, M=24, bits=4)
+
+    def test_int4_odd_f_full_block(self):
+        """INT4 with F=320 (no 128-divisor -> full-dim F block)."""
+        self._check(E=4, D=256, F=320, M=24, bits=4)

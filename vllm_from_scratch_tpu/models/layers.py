@@ -27,25 +27,38 @@ class QuantizedLinear(NamedTuple):
 
 @jax.tree_util.register_pytree_node_class
 class QuantizedLinear4:
-    """Weight-only INT4: two nibbles packed per int8 along the input axis.
+    """Weight-only INT4: two offset-8 nibbles packed per int8.
 
-    q4[..., i, o] holds rows 2i (low nibble) and 2i+1 (high nibble) as
-    offset-8 unsigned nibbles; scale is per-output-channel like INT8.
-    ``in_dim`` (the unpacked input size) is pytree aux data — NOT a leaf —
-    so lax.scan / device_put only see the two arrays.
+    Packing ``layout``s (aux data together with ``in_dim``, so lax.scan /
+    device_put only see the two arrays):
+
+    - ``"pair"``   — q4[..., i, o] holds input rows 2i (low) and 2i+1
+      (high): the generic layout.
+    - ``"half_in"``  — low nibble holds input row i, high holds row
+      i + in/2: unpack is a contiguous concat (no interleave), which is
+      what the fused MoE kernel needs to unpack in-register on the MXU
+      path (ops/pallas/moe_gemm.py).
+    - ``"half_out"`` — packed along the OUTPUT axis: q4[..., i, o] holds
+      output cols o (low) and o + out/2 (high); for the down projection,
+      whose input axis is the kernel's blocked F axis.
+
+    scale is per-output-channel like INT8 in every layout.
     """
 
-    def __init__(self, q4: jax.Array, scale: jax.Array, in_dim: int):
-        self.q4 = q4       # int8 [..., ceil(in/2), out] (two packed nibbles)
+    def __init__(self, q4: jax.Array, scale: jax.Array, in_dim: int,
+                 layout: str = "pair"):
+        self.q4 = q4       # int8, two packed nibbles (see layout)
         self.scale = scale  # f32 [..., out]
         self.in_dim = in_dim
+        self.layout = layout
 
     def tree_flatten(self):
-        return (self.q4, self.scale), self.in_dim
+        return (self.q4, self.scale), (self.in_dim, self.layout)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux)
+        in_dim, layout = aux if isinstance(aux, tuple) else (aux, "pair")
+        return cls(children[0], children[1], in_dim, layout)
 
 
 Weight = Union[jax.Array, QuantizedLinear, "QuantizedLinear4"]
@@ -76,11 +89,50 @@ def quantize_linear4(w: jax.Array) -> QuantizedLinear4:
     return QuantizedLinear4(packed, scale, d_in)
 
 
+def _quantize4_values(w: jax.Array):
+    """(q int8 in [-7, 7], scale) — shared by the packing layouts."""
+    from ..ops.quant import _EPS
+
+    wf = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2), _EPS) / 7.0
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -7, 7).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_linear4_half_in(w: jax.Array) -> QuantizedLinear4:
+    """INT4 packed (row i | row i + in/2) — the fused-kernel layout for
+    weights whose input axis is hidden D (gate/up)."""
+    d_in = w.shape[-2]
+    assert d_in % 2 == 0, "half_in packing needs an even input dim"
+    q, scale = _quantize4_values(w)
+    u = (q + 8).astype(jnp.uint8)
+    lo, hi = u[..., : d_in // 2, :], u[..., d_in // 2 :, :]
+    packed = (lo | (hi << 4)).astype(jnp.int8)
+    return QuantizedLinear4(packed, scale, d_in, layout="half_in")
+
+
+def quantize_linear4_half_out(w: jax.Array) -> QuantizedLinear4:
+    """INT4 packed along the OUTPUT axis (col o | col o + out/2) — the
+    fused-kernel layout for the down projection (its input axis F is the
+    kernel's blocked grid axis, so packing must not touch it)."""
+    d_in, d_out = w.shape[-2], w.shape[-1]
+    assert d_out % 2 == 0, "half_out packing needs an even output dim"
+    q, scale = _quantize4_values(w)
+    u = (q + 8).astype(jnp.uint8)
+    lo, hi = u[..., :, : d_out // 2], u[..., :, d_out // 2 :]
+    packed = (lo | (hi << 4)).astype(jnp.int8)
+    return QuantizedLinear4(packed, scale, d_in, layout="half_out")
+
+
 def _unpack4(w: QuantizedLinear4) -> jax.Array:
-    """Packed nibbles -> int8 values [-7, 7], original input length."""
+    """Packed nibbles -> int8 values [-7, 7], original [in, out] shape."""
     u = w.q4.astype(jnp.uint8)
     lo = (u & 0xF).astype(jnp.int8) - 8
     hi = ((u >> 4) & 0xF).astype(jnp.int8) - 8
+    if w.layout == "half_in":
+        return jnp.concatenate([lo, hi], axis=-2)[..., : w.in_dim, :]
+    if w.layout == "half_out":
+        return jnp.concatenate([lo, hi], axis=-1)
     full = jnp.stack([lo, hi], axis=-2)           # [..., pairs, 2, out]
     full = full.reshape(*w.q4.shape[:-2], -1, w.q4.shape[-1])
     return full[..., : w.in_dim, :]

@@ -103,10 +103,15 @@ def expert_ffn(x_sorted, group_sizes, w_gate, w_up, w_down, layer_idx=None):
     ``layer_idx``: weights are LAYER-STACKED [L, E, ...] and this (traced)
     index selects the layer inside the kernel — the lax.scan never slices
     the stacks (see fused_moe_pallas's docstring for why that matters)."""
-    from ..models.layers import QuantizedLinear
+    from ..models.layers import QuantizedLinear, QuantizedLinear4
     from ..ops.pallas import use_pallas
 
-    if isinstance(w_gate, QuantizedLinear) and use_pallas():
+    fusable = isinstance(w_gate, QuantizedLinear) or (
+        # INT4 fuses only in the kernel's half-split packings (in-register
+        # nibble unpack, no interleave); "pair"-packed weights fall back.
+        isinstance(w_gate, QuantizedLinear4) and w_gate.layout == "half_in"
+    )
+    if fusable and use_pallas():
         from ..ops.pallas.moe_gemm import fused_moe_pallas
 
         return fused_moe_pallas(x_sorted, group_sizes, w_gate, w_up, w_down,
@@ -164,7 +169,9 @@ def moe_ffn(
     """
     T, D = x.shape
     E_global = num_global_experts or gate_w.shape[-1]
-    q0 = w_gate.q if hasattr(w_gate, "q") else w_gate
+    q0 = getattr(w_gate, "q", None)
+    if q0 is None:                    # INT4 carries its packed array as .q4
+        q0 = getattr(w_gate, "q4", w_gate)
     E_local = q0.shape[1] if layer_idx is not None else q0.shape[0]
     r = route(x @ gate_w, top_k, num_groups, topk_group)
 

@@ -118,10 +118,18 @@ def quantize_params(params: dict, cfg: ModelConfig, bits: int = 8,
                 layers[k] = quant(layers[k])
     if "moe" in layers:
         moe = dict(layers["moe"])
-        for k in ("w_gate", "w_up", "w_down"):
-            # INT4 experts dequantize outside the fused kernel for now;
-            # keep them INT8 (fused epilogue) and the dense weights INT4.
-            moe[k] = quantize_linear(moe[k])
+        if bits == 4:
+            # Fused-kernel packings: gate/up split the input (hidden) axis
+            # into halves, down packs the output axis — both make the
+            # in-kernel nibble unpack a pure elementwise op
+            # (ops/pallas/moe_gemm._kernel4).
+            from .layers import quantize_linear4_half_in, quantize_linear4_half_out
+            moe["w_gate"] = quantize_linear4_half_in(moe["w_gate"])
+            moe["w_up"] = quantize_linear4_half_in(moe["w_up"])
+            moe["w_down"] = quantize_linear4_half_out(moe["w_down"])
+        else:
+            for k in ("w_gate", "w_up", "w_down"):
+                moe[k] = quantize_linear(moe[k])
         if "shared" in moe and scope == "all":
             moe["shared"] = tuple(quant(w) for w in moe["shared"])
         layers["moe"] = moe

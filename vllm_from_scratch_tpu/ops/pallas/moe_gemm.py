@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...models.layers import QuantizedLinear
+from ...models.layers import QuantizedLinear, QuantizedLinear4
 
 
 def moe_align(
@@ -79,9 +79,10 @@ def _split(w, L, E):
     """(values [L, E, din, dout], scales [L, E, 1, dout] or None).
 
     Accepts per-layer [E, ...] (L == 1) or layer-stacked [L, E, ...]
-    weights; a leading unit axis is added when absent (free reshape)."""
-    if isinstance(w, QuantizedLinear):
-        q, s = w.q, w.scale
+    weights; a leading unit axis is added when absent (free reshape).
+    For INT4 weights ``din``/``dout`` are the PACKED dims."""
+    if isinstance(w, (QuantizedLinear, QuantizedLinear4)):
+        q, s = (w.q, w.scale) if isinstance(w, QuantizedLinear) else (w.q4, w.scale)
     else:
         q, s = w, None
     if q.ndim == 3:
@@ -126,6 +127,69 @@ def _kernel(quantized: bool, out_dtype):
     return kern
 
 
+def _unpack_nibbles(packed):
+    """Packed int8 -> (lo, hi) int8 nibble values in [-7, 7], in-register.
+
+    Arithmetic stays in int32 (Mosaic's native integer vector width); the
+    caller casts to the matmul dtype.  No lane/sublane reshuffle — the
+    half_in/half_out packings make unpack a pure elementwise op."""
+    u = packed.astype(jnp.int32) & 0xFF
+    lo = (u & 0xF) - 8
+    hi = ((u >> 4) & 0xF) - 8
+    return lo, hi
+
+
+def _kernel4(out_dtype):
+    def kern(tile_expert_ref, li_ref, x_ref, wg_ref, wu_ref, wd_ref,
+             sg_ref, su_ref, sd_ref, o_ref):
+        """INT4 fused SwiGLU: nibbles unpack in-register and the four
+        sub-matmuls consume the contiguous half-split halves —
+        g = x_lo @ Wg_lo + x_hi @ Wg_hi (half_in packing over D) and the
+        down projection writes its two output halves separately (half_out
+        packing over D), so no interleave ever materializes (SURVEY §2b
+        FusedMoE INT4/INT8 dequant-in-kernel; VERDICT r2 weak #6)."""
+        f = pl.program_id(1)
+
+        @pl.when(f == 0)
+        def _init():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        x = x_ref[...]                                        # [TILE_M, D]
+        D2 = x.shape[1] // 2
+        x1, x2 = x[:, :D2], x[:, D2:]
+
+        def gemm_in4(w_ref):  # packed [D/2, f_blk] -> [TILE_M, f_blk] f32
+            lo, hi = _unpack_nibbles(w_ref[0, 0])
+            a = jax.lax.dot_general(
+                x1, lo.astype(x.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            b = jax.lax.dot_general(
+                x2, hi.astype(x.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return a + b
+
+        g = gemm_in4(wg_ref) * sg_ref[0, 0]
+        u = gemm_in4(wu_ref) * su_ref[0, 0]
+        h = (jax.nn.silu(g) * u).astype(x.dtype)              # [TILE_M, F_blk]
+
+        d_lo, d_hi = _unpack_nibbles(wd_ref[0, 0])            # [f_blk, D/2]
+        y_lo = jax.lax.dot_general(
+            h, d_lo.astype(x.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y_hi = jax.lax.dot_general(
+            h, d_hi.astype(x.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sd = sd_ref[0, 0]                                     # [1, D]
+        o_ref[:, :D2] += (y_lo * sd[:, :D2]).astype(out_dtype)
+        o_ref[:, D2:] += (y_hi * sd[:, D2:]).astype(out_dtype)
+
+    return kern
+
+
 def fused_moe_pallas(
     x_sorted: jax.Array,      # [M, D] sorted by expert id
     group_sizes: jax.Array,   # [E]
@@ -156,8 +220,15 @@ def fused_moe_pallas(
         # weight fetch.  Small tiles keep one tile per occupied expert.
         tile_m = 32 if M <= 256 else 128
     quantized = isinstance(w_gate, QuantizedLinear)
+    int4 = isinstance(w_gate, QuantizedLinear4)
+    if int4:
+        assert w_gate.layout == "half_in" and w_up.layout == "half_in", (
+            "fused INT4 experts need half_in-packed gate/up "
+            "(models.layers.quantize_linear4_half_in)")
+        assert w_down.layout == "half_out", (
+            "fused INT4 experts need a half_out-packed down projection")
 
-    q0 = w_gate.q if quantized else w_gate
+    q0 = w_gate.q if quantized else (w_gate.q4 if int4 else w_gate)
     L = q0.shape[0] if q0.ndim == 4 else 1
     if layer_idx is None:
         layer_idx = jnp.zeros((1,), jnp.int32)
@@ -168,6 +239,11 @@ def fused_moe_pallas(
     wu, su = _split(w_up, L, E)
     wd, sd = _split(w_down, L, E)
     F = wg.shape[-1]
+    # INT4: gate/up are packed over the input axis (rows = D/2, half_in)
+    # and down over the output axis (cols = D/2, half_out); the F axis —
+    # the blocked grid axis — keeps its unpacked length in both.
+    Dg = wg.shape[-2]           # D (int8/float) or D/2 (int4 half_in)
+    Dd = wd.shape[-1]           # D (int8/float) or D/2 (int4 half_out)
     if sg is None:  # uniform arg list for the kernel
         ones_f = jnp.ones((L, E, 1, F), jnp.float32)
         ones_d = jnp.ones((L, E, 1, D), jnp.float32)
@@ -184,7 +260,7 @@ def fused_moe_pallas(
     itemsize = max(1, jnp.dtype(wg.dtype).itemsize)
 
     def vmem_est(f):
-        return 2 * (2 * D * f + f * D) * itemsize
+        return 2 * (2 * Dg * f + f * Dd) * itemsize
 
     # Mosaic's default scoped-VMEM limit is 16 MB; we raise it via
     # CompilerParams (v5e physically has ~128 MB) so F can stay in few large
@@ -209,9 +285,9 @@ def fused_moe_pallas(
         grid=(num_tiles, num_f),
         in_specs=[
             pl.BlockSpec((tile_m, D), lambda t, f, te, li: (t, 0)),
-            pl.BlockSpec((1, 1, D, f_blk), lambda t, f, te, li: (li[0], te[t], 0, f)),
-            pl.BlockSpec((1, 1, D, f_blk), lambda t, f, te, li: (li[0], te[t], 0, f)),
-            pl.BlockSpec((1, 1, f_blk, D), lambda t, f, te, li: (li[0], te[t], f, 0)),
+            pl.BlockSpec((1, 1, Dg, f_blk), lambda t, f, te, li: (li[0], te[t], 0, f)),
+            pl.BlockSpec((1, 1, Dg, f_blk), lambda t, f, te, li: (li[0], te[t], 0, f)),
+            pl.BlockSpec((1, 1, f_blk, Dd), lambda t, f, te, li: (li[0], te[t], f, 0)),
             pl.BlockSpec((1, 1, 1, f_blk), lambda t, f, te, li: (li[0], te[t], 0, f)),
             pl.BlockSpec((1, 1, 1, f_blk), lambda t, f, te, li: (li[0], te[t], 0, f)),
             pl.BlockSpec((1, 1, 1, D), lambda t, f, te, li: (li[0], te[t], 0, 0)),
@@ -220,7 +296,7 @@ def fused_moe_pallas(
     )
 
     y_pad = pl.pallas_call(
-        _kernel(quantized, jnp.float32),
+        _kernel4(jnp.float32) if int4 else _kernel(quantized, jnp.float32),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((x_pad.shape[0], D), jnp.float32),
         compiler_params=pltpu.CompilerParams(

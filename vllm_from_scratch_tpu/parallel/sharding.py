@@ -215,7 +215,7 @@ def _quant_aware(spec_tree: dict, params: dict) -> dict:
         q_s = NamedSharding(mesh, P(*full))
         scale_s = NamedSharding(mesh, P(*(full[:-2] + [full[-1]])))
         if isinstance(leaf, QuantizedLinear4):
-            return QuantizedLinear4(q_s, scale_s, leaf.in_dim)
+            return QuantizedLinear4(q_s, scale_s, leaf.in_dim, leaf.layout)
         return QuantizedLinear(q_s, scale_s)
 
     return jax.tree.map(fix, spec_tree, params)
