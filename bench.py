@@ -118,12 +118,24 @@ def run(num_requests=16, prompt_len=64, new_tokens=128, shared_prefix=32):
     }
 
 
+# Saturating batch from the r3 batch-size sweep (benchmarks/sweep_batch.py;
+# curve in benchmarks/RESULTS.md): tok/s plateaus from B=32-128 and peaks
+# at B=64, 1.3x the B=16 rate — decode is weight-streaming-bound, so the
+# flat per-step cost amortizes over more sequences until the per-token
+# terms (KV page reads, MoE tokens) catch up.
+PEAK_BATCH = 64
+
+
 def main():
     import signal
 
     from bench_midsize import run_engine
 
+    # Two midsize legs: B=16 is the r1/r2-comparable roofline-accounting
+    # point (kernel-honest HBM-util math); B=PEAK_BATCH is the chip's
+    # measured serving ceiling and the headline (VERDICT r2 #1).
     mid = run_engine(verbose=False)
+    peak = run_engine(verbose=False, batch=PEAK_BATCH)
 
     # The toy leg is secondary: budget it so the headline JSON always
     # prints even under a tight driver timeout.
@@ -140,15 +152,20 @@ def main():
     finally:
         signal.alarm(0)
     return {
-        # Headline: the bandwidth-honest midsize model (1.9 GB weights).
-        "metric": "midsize_decode_tokens_per_s_per_chip_int8",
-        "value": mid["decode_tps"],
+        # Headline: the bandwidth-honest midsize model (1.9 GB weights) at
+        # its measured saturating batch.
+        "metric": "midsize_peak_decode_tokens_per_s_per_chip_int8",
+        "value": peak["decode_tps"],
         "unit": "tokens/s",
-        "vs_baseline": round(mid["decode_tps"] / BASELINE_TOKS_PER_S, 3),
+        "vs_baseline": round(peak["decode_tps"] / BASELINE_TOKS_PER_S, 3),
+        "peak_decode_tokens_per_s": peak["decode_tps"],
+        "peak_batch": PEAK_BATCH,
+        "b16_decode_tokens_per_s": mid["decode_tps"],
         "p50_ttft_ms": mid["p50_ttft_ms"],
         "bytes_per_step_mb": round(mid["bytes_per_step"] / 1e6),
         "hbm_util_pct": mid["hbm_util_pct"],
         "midsize_kv_usage_peak": mid["kv_usage_peak"],
+        **{k: v for k, v in mid.items() if k.startswith("prefill_")},
         **toy,
         "backend": __import__("jax").default_backend(),
     }
