@@ -33,10 +33,11 @@ DECODE_STEPS = int(os.environ.get("VFS_BENCH_DECODE_STEPS", "32"))
 BATCH = int(os.environ.get("VFS_BENCH_BATCH", "16"))
 
 HBM_BYTES_PER_S = 819e9  # v5e
+MXU_BF16_FLOPS = 197e12  # v5e peak (bf16 activations; int8 weights upconvert)
 LAYERS = 12
 
 
-def build_engine(batch: int = BATCH):
+def build_engine(batch: int = BATCH, decode_steps: int = DECODE_STEPS):
     from vllm_from_scratch_tpu.core.config import (
         CacheConfig, EngineConfig, ModelConfig, QuantConfig, SchedulerConfig,
     )
@@ -61,12 +62,55 @@ def build_engine(batch: int = BATCH):
         # decode rate isn't a single-window measurement.
         scheduler=SchedulerConfig(max_num_seqs=batch,
                                   max_num_batched_tokens=2048,
-                                  decode_steps=DECODE_STEPS),
+                                  decode_steps=decode_steps),
         # scope="experts" measured a wash on v5e (probe_step: 8.71 vs
         # 8.58 ms — the extra bf16 dense bytes cancel the convert savings),
         # so the headline keeps everything int8.
         quant=QuantConfig(weight_quant="int8"),
     ))
+
+
+def _active_matmul_params(eng) -> int:
+    """Per-token ACTIVE matmul parameter count (for prefill MFU accounting).
+
+    Counts every dense matmul weight once and the routed expert stacks at
+    their (top_k + shared)/E activation fraction — prefill FLOPs/token
+    ~= 2 x this (the ctx-dependent attention score/value FLOPs are <1% at
+    these shapes).  Quantized weights count at their unpacked numel."""
+    import jax
+
+    mcfg = eng.config.model
+
+    def numel(w):
+        q = getattr(w, "q", None)
+        if q is not None:
+            return q.size
+        q4 = getattr(w, "q4", None)
+        if q4 is not None:
+            return 2 * q4.size
+        return w.size if hasattr(w, "size") else 0
+
+    layers = eng.params["layers"]
+    total = 0
+    for k, w in layers.items():
+        if k == "moe":
+            # Routed stacks activate top_k of E; the shared experts are
+            # separate weights (moe["shared"]) counted fully below.
+            frac = mcfg.top_k / mcfg.num_experts
+            for kk, ww in w.items():
+                if kk in ("w_gate", "w_up", "w_down"):
+                    total += int(sum(numel(x) for x in jax.tree.leaves(ww)
+                                     if hasattr(x, "size")) * frac)
+                else:
+                    total += sum(numel(x) for x in jax.tree.leaves(ww)
+                                 if hasattr(x, "size"))
+        elif k.endswith("norm") or k == "rope":
+            continue
+        else:
+            total += sum(numel(x) for x in jax.tree.leaves(w)
+                         if hasattr(x, "size"))
+    total += numel(eng.params["lm_head"])
+    return total
 
 
 def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True,
@@ -117,6 +161,17 @@ def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True,
     ttft = sorted(first.values())
     decode_tps = decode_toks / dt
 
+    # Prefill characterization (VERDICT r2 #3): the window from submit to
+    # the LAST first-token is (chunked) prefill plus its first decode
+    # tick; tokens/s over the B*512 prompt tokens and MFU vs the MXU
+    # roofline (prefill is compute-bound: active matmul params dominate,
+    # ctx-term <1% at 512 tokens).
+    prefill_window = max(first.values())
+    prefill_tokens = sum(len(p) for p in prompts)
+    prefill_tps = prefill_tokens / prefill_window
+    active_params = _active_matmul_params(eng)
+    prefill_mfu = 2 * active_params * prefill_tps / MXU_BF16_FLOPS * 100
+
     # HBM accounting: every decode step streams the full weights plus each
     # request's latent-KV context (int8 latents + rope + 8 scale bytes).
     B, L = batch, LAYERS
@@ -133,6 +188,10 @@ def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True,
         print(f"HBM: {bytes_per_step/1e6:.0f} MB/step @ "
               f"{1000*step_time:.2f} ms/step = {hbm_util:.1f}% of "
               f"{HBM_BYTES_PER_S/1e9:.0f} GB/s roofline", flush=True)
+        print(f"prefill: {prefill_tps/1e3:.1f}k tok/s "
+              f"({prefill_tokens} tokens in {1000*prefill_window:.0f} ms) = "
+              f"{prefill_mfu:.1f}% MFU "
+              f"(2 x {active_params/1e6:.0f}M active params)", flush=True)
     return {
         "batch": batch,
         "decode_tps": round(decode_tps, 1),
@@ -141,9 +200,72 @@ def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True,
         "param_bytes": param_bytes,
         "bytes_per_step": int(bytes_per_step),
         "hbm_util_pct": round(hbm_util, 1),
+        "prefill_tokens_per_s": round(prefill_tps, 1),
+        "prefill_mfu_pct": round(prefill_mfu, 1),
         "total_wall_s": round(total_wall, 1),
     }
 
 
+def run_mixed_itl(new_tokens: int = 96, batch: int = BATCH,
+                  verbose: bool = True) -> dict:
+    """Decode ITL while prefill chunks run concurrently (VERDICT r2 #3).
+
+    Admits batch/2 requests, lets them settle into decode, then admits the
+    other half: while those prefill (chunked), the first half's decode
+    steps interleave with prefill chunks.  Reports mean inter-token
+    latency for the first half during that window vs the pure-decode
+    baseline.  decode_steps is forced to 1 so the ITL is per real step
+    (macro-scans would hide the interleave)."""
+    from vllm_from_scratch_tpu.core.config import SamplingParams
+
+    eng = build_engine(batch, decode_steps=1)
+    rng = np.random.RandomState(1)
+    sp = SamplingParams(max_new_tokens=new_tokens, temperature=0.0,
+                        ignore_eos=True)
+    half = batch // 2
+    mk = lambda: [list(rng.randint(1, 31999, 512)) for _ in range(half)]
+    eng.generate(mk() + mk(), sp)  # warm/compile both bucket sets
+
+    first_ids = [eng.add_request(p, sp) for p in mk()]
+    # settle the first half into steady decode (well under max_new_tokens
+    # so they are still decoding when the second half lands)
+    for _ in range(8):
+        eng.step()
+    # pure-decode baseline ITL
+    base_ticks = []
+    for _ in range(12):
+        t = time.perf_counter()
+        eng.step()
+        base_ticks.append(time.perf_counter() - t)
+    second_ids = [eng.add_request(p, sp) for p in mk()]
+    mixed_ticks = []   # steps while the second half is still prefilling
+    first_set = set(first_ids)
+
+    def second_still_prefilling():
+        reqs = eng.scheduler.requests
+        return any(rid in reqs and reqs[rid].is_prefill for rid in second_ids)
+
+    while second_still_prefilling() and eng.has_unfinished:
+        t = time.perf_counter()
+        emitted = eng.step()
+        dt_step = time.perf_counter() - t
+        if any(rid in first_set for rid, _ in emitted):
+            mixed_ticks.append(dt_step)
+    while eng.has_unfinished:
+        eng.step()
+    base = 1000 * float(np.median(base_ticks))
+    mixed = 1000 * float(np.median(mixed_ticks)) if mixed_ticks else None
+    if verbose:
+        print(f"decode ITL: {base:.1f} ms/step pure, "
+              f"{mixed if mixed is None else round(mixed, 1)} ms/step while "
+              f"{half} prompts prefill concurrently "
+              f"({len(mixed_ticks)} mixed steps)", flush=True)
+    return {"itl_pure_ms": round(base, 1),
+            "itl_during_prefill_ms": None if mixed is None else round(mixed, 1),
+            "mixed_steps": len(mixed_ticks)}
+
+
 if __name__ == "__main__":
     run_engine()
+    if os.environ.get("VFS_BENCH_ITL", "1") != "0":
+        run_mixed_itl()
