@@ -504,7 +504,10 @@ class TestPipelineParallel:
     """PP (SURVEY.md §2c): stage-sharded layers + microbatched ppermute flow
     reproduce the single-device forward exactly (logits AND cache)."""
 
-    def _setup(self, family="mha", L=4, B=4, T=8):
+    def _setup(self, family="mha", L=4, B=2, T=4):
+        # B=2/T=4 keeps the parity check exact but halves the microbatch
+        # ticks and the traced graph — these two tests were the suite's
+        # slowest compiles (34 s/28 s warm; VERDICT r2 weak #4).
         from vllm_from_scratch_tpu.models import transformer
         from vllm_from_scratch_tpu.models.transformer import ModelBatch
 
