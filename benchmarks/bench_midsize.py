@@ -31,6 +31,8 @@ NEW_TOKENS = int(os.environ.get("VFS_BENCH_NEW_TOKENS", "128"))
 BLOCK = int(os.environ.get("VFS_BENCH_BLOCK", "128"))
 DECODE_STEPS = int(os.environ.get("VFS_BENCH_DECODE_STEPS", "32"))
 BATCH = int(os.environ.get("VFS_BENCH_BATCH", "16"))
+# "int8" (headline) | "int4" (fused nibble-unpack experts) | "none"
+WEIGHT_QUANT = os.environ.get("VFS_BENCH_WEIGHT_QUANT", "int8")
 
 HBM_BYTES_PER_S = 819e9  # v5e
 MXU_BF16_FLOPS = 197e12  # v5e peak (bf16 activations; int8 weights upconvert)
@@ -66,7 +68,7 @@ def build_engine(batch: int = BATCH, decode_steps: int = DECODE_STEPS):
         # scope="experts" measured a wash on v5e (probe_step: 8.71 vs
         # 8.58 ms — the extra bf16 dense bytes cancel the convert savings),
         # so the headline keeps everything int8.
-        quant=QuantConfig(weight_quant="int8"),
+        quant=QuantConfig(weight_quant=WEIGHT_QUANT),
     ))
 
 
