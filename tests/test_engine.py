@@ -317,6 +317,70 @@ class TestSamplingBehavior:
         assert len(set(list(narrow.values())[0])) <= len(set(list(wide.values())[0]))
 
 
+class TestMixedStep:
+    """The fused prefill+decode step (transformer.forward_mixed): when a
+    chunked prefill runs while other requests decode, ONE device call
+    serves both groups and must reproduce the two-call path exactly
+    (greedy).  VERDICT r2 #3's mixed ragged step."""
+
+    def _staggered_run(self, cfg, disable_mixed):
+        eng = LLMEngine(cfg)
+        if disable_mixed:
+            eng._mixed_ok = False
+        mixed_calls = {"n": 0}
+        orig = eng._run_mixed
+
+        def counting(*a, **k):
+            mixed_calls["n"] += 1
+            return orig(*a, **k)
+
+        eng._run_mixed = counting
+        sp = SamplingParams(max_new_tokens=10, temperature=0.0,
+                            ignore_eos=True)
+        a = eng.add_request([5, 6, 7, 8], sp)
+        # Let A settle into decode, then admit B whose 48-token prompt
+        # chunks over several steps (budget 16) while A keeps decoding.
+        outs = {a: []}
+        for _ in range(4):
+            for rid, t in eng.step():
+                outs.setdefault(rid, []).append(t)
+        b = eng.add_request(list(range(2, 50)), sp)
+        outs[b] = []
+        while eng.has_unfinished:
+            for rid, t in eng.step():
+                outs.setdefault(rid, []).append(t)
+        return outs, mixed_calls["n"]
+
+    def _cfg(self, **model_kw):
+        defaults = dict(vocab_size=128, hidden_size=64, num_layers=2,
+                        num_heads=4, num_kv_heads=2, max_position=256)
+        defaults.update(model_kw)
+        return EngineConfig(
+            model=ModelConfig(**defaults),
+            cache=CacheConfig(block_size=16, num_blocks=64, kv_quant="none"),
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=16,
+                                      decode_steps=1),
+        )
+
+    def test_matches_two_call_path_mha(self):
+        cfg = self._cfg()
+        mixed, n_mixed = self._staggered_run(cfg, disable_mixed=False)
+        ref, n_ref = self._staggered_run(cfg, disable_mixed=True)
+        assert n_mixed > 0, "mixed path never triggered"
+        assert n_ref == 0
+        assert mixed == ref
+
+    def test_matches_two_call_path_mla_moe(self):
+        cfg = self._cfg(kv_lora_rank=16, qk_rope_head_dim=8,
+                        qk_nope_head_dim=16, v_head_dim=16,
+                        num_experts=4, top_k=2, num_shared_experts=1)
+        mixed, n_mixed = self._staggered_run(cfg, disable_mixed=False)
+        ref, n_ref = self._staggered_run(cfg, disable_mixed=True)
+        assert n_mixed > 0, "mixed path never triggered"
+        assert mixed == ref
+
+
 class TestMultiStepDecode:
     """decode_steps > 1: K autoregressive iterations per jitted call
     (the TPU answer to per-step host sync; vLLM's num-scheduler-steps)."""

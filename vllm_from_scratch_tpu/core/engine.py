@@ -208,6 +208,40 @@ class LLMEngine:
         self._step_fn = jax.jit(_step, donate_argnums=(1,),
                                 static_argnums=(4, 5))
 
+        def _step_mixed(params, cache, packed_p, packed_d, sstate,
+                        Tp: int, mode: str):
+            """ONE fused prefill+decode step (transformer.forward_mixed):
+            weights stream once for both groups.  Returns tokens
+            [Bp_pad + Bd_pad] (prefill rows first)."""
+            bp = _unpack_batch(packed_p, Tp)
+            bd = _unpack_batch(packed_d, 1)
+            skey = jax.random.fold_in(base_key, packed_p[0, -1])  # seed col
+            if eplb_on:
+                lp, ld, cache, counts = transformer.forward_mixed(
+                    params, cache, bp, bd, mcfg, block_size=ccfg.block_size,
+                    mesh=mesh, ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                    collect_expert_counts=True)
+            else:
+                lp, ld, cache = transformer.forward_mixed(
+                    params, cache, bp, bd, mcfg, block_size=ccfg.block_size,
+                    mesh=mesh, ep_dispatch=ep_dispatch, mla_kv=mla_kv)
+                counts = _no_counts
+            tokens = sample(jnp.concatenate([lp, ld], axis=0), sstate, skey,
+                            mode)
+            return tokens, cache, counts
+
+        # Mixed step composes with tp (GSPMD) and EPLB; pp has its own
+        # runner, dp shards batch rows (the concat would cross shards), cp
+        # reshapes the cache, and draft-model spec keeps its own prefill.
+        self._mixed_ok = (
+            not use_pp
+            and config.parallel.dp_size == 1
+            and config.parallel.cp_size == 1
+            and config.spec is None
+        )
+        self._step_mixed_fn = jax.jit(_step_mixed, donate_argnums=(1,),
+                                      static_argnums=(5, 6))
+
         def _decode_scan(params, cache, tok0, packed, sstate, K: int, mode: str):
             """K autoregressive decode iterations in one compiled program.
 
@@ -536,26 +570,43 @@ class LLMEngine:
         self._step_seed += 1
         return self._step_seed
 
-    def _get_sstate(self, group: List[ScheduledRequest], B_pad: int):
+    def _get_sstate(self, group: List[ScheduledRequest], B_pad: int,
+                    pad_between=None):
         """Device-resident SamplingState, re-staged only when the batch
         composition or sampling params change (saves 3 small H2D transfers
-        per step — ~10 ms each over the axon tunnel)."""
-        key = (B_pad, tuple(
+        per step — ~10 ms each over the axon tunnel).
+
+        ``pad_between=(n_first, first_pad)``: the mixed prefill+decode step
+        places the first ``n_first`` requests at rows 0.. and the rest at
+        rows ``first_pad``.. (the logits concat is bucket-aligned)."""
+        key = (B_pad, pad_between, tuple(
             (it.request.req_id, it.request.sampling.temperature,
              it.request.sampling.top_p, it.request.sampling.top_k)
             for it in group
         ))
         if key != self._sstate_key:
+            if pad_between is None:
+                state = make_sampling_state(
+                    [it.request for it in group], B_pad)
+            else:
+                n_first, first_pad = pad_between
+                a = make_sampling_state(
+                    [it.request for it in group[:n_first]], first_pad)
+                b = make_sampling_state(
+                    [it.request for it in group[n_first:]], B_pad - first_pad)
+                state = type(a)(*(jnp.concatenate([x, y])
+                                  for x, y in zip(a, b)))
             self._sstate_dev = (
-                jax.device_put(
-                    make_sampling_state([it.request for it in group], B_pad)),
+                jax.device_put(state),
                 sampling_mode([it.request.sampling for it in group]),
             )
             self._sstate_key = key
         return self._sstate_dev
 
-    def _run_group(self, group: List[ScheduledRequest]) -> List[int]:
-        """Stage one bucketed model call; returns sampled token per item."""
+    def _pack_group(self, group: List[ScheduledRequest]):
+        """Stage one group's packed int32 buffer (layout: [tokens |
+        positions | slots | tables | ctx | q_len | seed] per row).
+        Returns (packed [B_pad, 3*T_pad + N_pad + 3], B_pad, T_pad)."""
         B = len(group)
         # Bucket the batch to dp * pow2 so rows shard evenly over "dp".
         dp = self.config.parallel.dp_size
@@ -565,8 +616,6 @@ class LLMEngine:
         n_blocks = max(len(it.request.block_ids) for it in group)
         N_pad = min(_next_pow2(max(n_blocks, 1)), self.max_blocks_per_seq)
 
-        # One packed transfer: [tokens | positions | slots | tables | ctx |
-        # q_len | seed] per row.
         packed = np.zeros((B_pad, 3 * T_pad + N_pad + 3), np.int32)
         for i, it in enumerate(group):
             req, n, s0 = it.request, it.num_new_tokens, it.start_pos
@@ -578,6 +627,27 @@ class LLMEngine:
             packed[i, 3 * T_pad + N_pad] = s0 + n
             packed[i, 3 * T_pad + N_pad + 1] = n
         packed[:, 3 * T_pad + N_pad + 2] = self._next_seed()
+        return packed, B_pad, T_pad
+
+    def _run_mixed(self, prefill: List[ScheduledRequest],
+                   decode: List[ScheduledRequest]) -> List[int]:
+        """One fused prefill+decode device call (weights stream once);
+        returns sampled tokens for prefill + decode, in that order."""
+        packed_p, Bp_pad, Tp_pad = self._pack_group(prefill)
+        packed_d, Bd_pad, _ = self._pack_group(decode)
+        sstate, mode = self._get_sstate(prefill + decode, Bp_pad + Bd_pad,
+                                        pad_between=(len(prefill), Bp_pad))
+        toks, self.cache, counts = self._step_mixed_fn(
+            self.params, self.cache, packed_p, packed_d, sstate, Tp_pad, mode)
+        self._eplb_accumulate(counts)
+        arr = np.asarray(toks)
+        return ([int(t) for t in arr[:len(prefill)]]
+                + [int(t) for t in arr[Bp_pad:Bp_pad + len(decode)]])
+
+    def _run_group(self, group: List[ScheduledRequest]) -> List[int]:
+        """Stage one bucketed model call; returns sampled token per item."""
+        B = len(group)
+        packed, B_pad, T_pad = self._pack_group(group)
 
         if self.mesh is not None and self.config.parallel.dp_size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -859,10 +929,17 @@ class LLMEngine:
         decode = [it for it in scheduled if it.num_new_tokens == 1]
 
         sampled: Dict[int, int] = {}
-        for group in (prefill, decode):
-            if group:
-                for it, tok in zip(group, self._run_group(group)):
-                    sampled[id(it)] = tok
+        if prefill and decode and self._mixed_ok:
+            # ONE fused call: decode rows don't pay a second weight stream
+            # while prefill chunks run (VERDICT r2 #3 mixed ragged step).
+            toks = self._run_mixed(prefill, decode)
+            for it, tok in zip(prefill + decode, toks):
+                sampled[id(it)] = tok
+        else:
+            for group in (prefill, decode):
+                if group:
+                    for it, tok in zip(group, self._run_group(group)):
+                        sampled[id(it)] = tok
 
         emitted = self.scheduler.update(scheduled, [sampled[id(it)] for it in scheduled])
 

@@ -246,57 +246,144 @@ def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
             a, cache_l = _attn(layer, cache_l, h, batch, cfg, rope, block_size,
                                mesh=mesh)
         h = h + a
-        xn = rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps)
-        counts_l = None
-        if cfg.is_moe:
-            m = layer["moe"]
-            emap = m.get("expert_map")
-            xf = xn.reshape(-1, xn.shape[-1])
-            if collect_counts:
-                # Recompute the (cheap) routing outside the EP dispatch: the
-                # same deterministic math gives global logical-id loads even
-                # when the dispatch below is token-sharded.
-                r = moe_mod.route(xf @ m["gate"], cfg.top_k, cfg.num_groups,
-                                  cfg.topk_group)
-                counts_l = jnp.bincount(
-                    r.ids.reshape(-1), length=cfg.num_experts
-                ).astype(jnp.int32)
-            if mesh is not None and mesh.shape.get("tp", 1) > 1:
-                from ..parallel.ep import ep_moe_ffn, ep_moe_ffn_a2a
-
-                # shard_map EP works on per-layer slices; slicing here is
-                # the multi-chip path (the single-chip perf path below
-                # never materializes the slice).
-                m_ep = {**m, **jax.tree.map(lambda a: a[li], moe_stacks)}
-                if ep_dispatch == "a2a":
-                    f = ep_moe_ffn_a2a(xf, m_ep, cfg, mesh, expert_map=emap)
-                else:
-                    f = ep_moe_ffn(xf, m_ep, cfg, mesh, expert_map=emap)
-                if "shared" in m:  # dense shared expert stays under GSPMD
-                    wg, wu, wd = m["shared"]
-                    f = f + mm(jax.nn.silu(mm(xf, wg)) * mm(xf, wu), wd)
-            else:
-                f, _aux = moe_mod.moe_ffn(
-                    xf,
-                    m["gate"], moe_stacks["w_gate"], moe_stacks["w_up"],
-                    moe_stacks["w_down"],
-                    top_k=cfg.top_k, num_groups=cfg.num_groups,
-                    topk_group=cfg.topk_group,
-                    shared=m.get("shared"),
-                    aux_loss_coeff=cfg.aux_loss_coeff,
-                    expert_map=emap,
-                    layer_idx=li,
-                )
-            h = h + f.reshape(h.shape).astype(h.dtype)
-        else:
-            h = h + swiglu(xn, layer["w_gate"], layer["w_up"], layer["w_down"])
+        h, counts_l = _ffn_block(layer, h, cfg, mesh=mesh,
+                                 ep_dispatch=ep_dispatch,
+                                 moe_stacks=moe_stacks, li=li,
+                                 collect_counts=collect_counts)
         if collect_counts:
-            if counts_l is None:
-                counts_l = jnp.zeros((max(cfg.num_experts, 1),), jnp.int32)
             return h, (cache_l, counts_l)
         return h, cache_l
 
     return layer_step
+
+
+def _ffn_block(layer, h, cfg, *, mesh, ep_dispatch, moe_stacks, li,
+               collect_counts):
+    """Post-attention FFN/MoE on any token layout (the last axis is H;
+    leading axes flatten for routing) — shared by the per-batch layer step
+    and the mixed prefill+decode step.  Returns (h + f, counts_l)."""
+    xn = rms_norm(h, layer["ffn_norm"], cfg.rms_norm_eps)
+    counts_l = None
+    if cfg.is_moe:
+        m = layer["moe"]
+        emap = m.get("expert_map")
+        xf = xn.reshape(-1, xn.shape[-1])
+        if collect_counts:
+            # Recompute the (cheap) routing outside the EP dispatch: the
+            # same deterministic math gives global logical-id loads even
+            # when the dispatch below is token-sharded.
+            r = moe_mod.route(xf @ m["gate"], cfg.top_k, cfg.num_groups,
+                              cfg.topk_group)
+            counts_l = jnp.bincount(
+                r.ids.reshape(-1), length=cfg.num_experts
+            ).astype(jnp.int32)
+        if mesh is not None and mesh.shape.get("tp", 1) > 1:
+            from ..parallel.ep import ep_moe_ffn, ep_moe_ffn_a2a
+
+            # shard_map EP works on per-layer slices; slicing here is
+            # the multi-chip path (the single-chip perf path below
+            # never materializes the slice).
+            m_ep = {**m, **jax.tree.map(lambda a: a[li], moe_stacks)}
+            if ep_dispatch == "a2a":
+                f = ep_moe_ffn_a2a(xf, m_ep, cfg, mesh, expert_map=emap)
+            else:
+                f = ep_moe_ffn(xf, m_ep, cfg, mesh, expert_map=emap)
+            if "shared" in m:  # dense shared expert stays under GSPMD
+                wg, wu, wd = m["shared"]
+                f = f + mm(jax.nn.silu(mm(xf, wg)) * mm(xf, wu), wd)
+        else:
+            f, _aux = moe_mod.moe_ffn(
+                xf,
+                m["gate"], moe_stacks["w_gate"], moe_stacks["w_up"],
+                moe_stacks["w_down"],
+                top_k=cfg.top_k, num_groups=cfg.num_groups,
+                topk_group=cfg.topk_group,
+                shared=m.get("shared"),
+                aux_loss_coeff=cfg.aux_loss_coeff,
+                expert_map=emap,
+                layer_idx=li,
+            )
+        h = h + f.reshape(h.shape).astype(h.dtype)
+    else:
+        h = h + swiglu(xn, layer["w_gate"], layer["w_up"], layer["w_down"])
+    if collect_counts and counts_l is None:
+        counts_l = jnp.zeros((max(cfg.num_experts, 1),), jnp.int32)
+    return h, counts_l
+
+
+def forward_mixed(
+    params: dict,
+    cache: KVCache,
+    batch_p: ModelBatch,      # prefill chunks [Bp, Tp]
+    batch_d: ModelBatch,      # decodes [Bd, 1]
+    cfg: ModelConfig,
+    *,
+    block_size: int,
+    mesh=None,
+    ep_dispatch: str = "psum",
+    mla_kv: str = "replicated",
+    collect_expert_counts: bool = False,
+):
+    """ONE mixed prefill+decode step (VERDICT r2 #3, the "ragged" step).
+
+    Attention is inherently per-shape (a decode row at Tq=1 and a prefill
+    chunk at Tq=Tp want different query tilings), so each sub-batch keeps
+    its own attention call — but everything weight-bound (all projections,
+    norms, the MoE dispatch, lm_head) runs on the CONCATENATED flat token
+    axis.  The scheduler step therefore streams the 1.9 GB of weights ONCE
+    instead of once per group; the reference pays this double-stream in its
+    per-phase forward too (mini_vllm.py:712-764 runs one forward per step
+    but pads decode rows to the prefill length — here neither sub-batch
+    pads to the other's shape).
+
+    Returns (logits_p [Bp, V], logits_d [Bd, V], cache[, counts])."""
+    Bp, Tp = batch_p.tokens.shape
+    Bd = batch_d.tokens.shape[0]
+    hp = params["embed"][batch_p.tokens]
+    hd = params["embed"][batch_d.tokens]
+
+    layers_xs, moe_stacks = split_moe_stacks(params["layers"], cfg)
+
+    def layer_step(carry, xs):
+        hp, hd = carry
+        layer, cache_l, li = xs
+        attn = mla_mod.mla_attention_block if cfg.is_mla else _attn
+        kw = (dict(allow_pallas=(mla_kv != "tpla"), mesh=mesh)
+              if cfg.is_mla else dict(mesh=mesh))
+        a_p, cache_l = attn(layer, cache_l, hp, batch_p, cfg, params["rope"],
+                            block_size=block_size, **kw)
+        a_d, cache_l = attn(layer, cache_l, hd, batch_d, cfg, params["rope"],
+                            block_size=block_size, **kw)
+        hf = jnp.concatenate(
+            [(hp + a_p).reshape(-1, hp.shape[-1]),
+             (hd + a_d).reshape(-1, hd.shape[-1])], axis=0)
+        hf, counts_l = _ffn_block(layer, hf, cfg, mesh=mesh,
+                                  ep_dispatch=ep_dispatch,
+                                  moe_stacks=moe_stacks, li=li,
+                                  collect_counts=collect_expert_counts)
+        hp2 = hf[: Bp * Tp].reshape(Bp, Tp, -1)
+        hd2 = hf[Bp * Tp:].reshape(Bd, 1, -1)
+        if collect_expert_counts:
+            return (hp2, hd2), (cache_l, counts_l)
+        return (hp2, hd2), cache_l
+
+    L = cfg.num_layers
+    (hp, hd), ys = jax.lax.scan(
+        layer_step, (hp, hd), (layers_xs, cache, jnp.arange(L, dtype=jnp.int32)))
+    new_cache, counts = ys if collect_expert_counts else (ys, None)
+
+    # Last valid position per row; ONE lm_head matmul over both groups.
+    last = jnp.maximum(batch_p.q_lens - 1, 0)
+    xp_last = jnp.take_along_axis(
+        rms_norm(hp, params["final_norm"], cfg.rms_norm_eps),
+        last[:, None, None], axis=1)[:, 0]
+    xd_last = rms_norm(hd[:, 0], params["final_norm"], cfg.rms_norm_eps)
+    logits = mm(jnp.concatenate([xp_last, xd_last], axis=0),
+                params["lm_head"]).astype(jnp.float32)
+    logits_p, logits_d = logits[:Bp], logits[Bp:]
+    if collect_expert_counts:
+        return logits_p, logits_d, new_cache, counts
+    return logits_p, logits_d, new_cache
 
 
 def _attn(layer, cache_l, h, batch, cfg, rope, block_size, mesh=None):
