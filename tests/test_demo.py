@@ -7,7 +7,7 @@ from vllm_from_scratch_tpu import demo
 
 
 @pytest.mark.parametrize("section", ["paged", "prefix", "moe", "mla", "pd",
-                                     "eplb", "pd_sched", "cp"])
+                                     "eplb", "pd_sched", "cp", "mixed"])
 def test_demo_section_runs(section, capsys):
     demo.SECTIONS[section]()
     out = capsys.readouterr().out

@@ -91,14 +91,23 @@ def mla_attention_block(
 
     x = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
 
+    if "qkv_a" in layer:
+        # transformer.fuse_projections: q_a|kv_a in ONE matmul (same input
+        # x; per-out-channel scales make the fusion bit-exact).
+        qa_ckr = mm(x, layer["qkv_a"])                        # [B,T,qr+r+dr]
+        qr_rank = qa_ckr.shape[-1] - (r + dr)
+        qa_out, ckr = qa_ckr[..., :qr_rank], qa_ckr[..., qr_rank:]
+    else:
+        qa_out = mm(x, layer["q_a"])
+        ckr = mm(x, layer["kv_a"])                            # [B, T, r+dr]
+
     # Q: low-rank two-stage projection, split nope | rope.
-    q = mm(rms_norm(mm(x, layer["q_a"]), layer["q_a_norm"], cfg.rms_norm_eps), layer["q_b"])
+    q = mm(rms_norm(qa_out, layer["q_a_norm"], cfg.rms_norm_eps), layer["q_b"])
     q = q.reshape(B, T, nh, dn + dr)
     q_nope, q_rope = q[..., :dn], q[..., dn:]
     q_rope = apply_rope(q_rope, batch.positions, rope_table)
 
-    # KV: compress to latent + shared rotary key; normalize latent, rotate key.
-    ckr = mm(x, layer["kv_a"])                                # [B, T, r+dr]
+    # KV: latent + shared rotary key; normalize latent, rotate key.
     c_kv = rms_norm(ckr[..., :r], layer["kv_norm"], cfg.rms_norm_eps)
     k_rope = ckr[..., r:][:, :, None, :]                      # [B, T, 1, dr]
     k_rope = apply_rope(k_rope, batch.positions, rope_table)[:, :, 0]

@@ -207,9 +207,21 @@ def moe_ffn(
 
     out = jnp.zeros((T, D), y.dtype).at[token_idx].add(y)
     if shared is not None:
-        wg, wu, wd = shared
-        out = out + mm(jax.nn.silu(mm(x, wg)) * mm(x, wu), wd)
+        out = out + shared_expert_ffn(x, shared)
     return out.astype(x.dtype), r.aux_loss * aux_loss_coeff
+
+
+def shared_expert_ffn(x: jax.Array, shared) -> jax.Array:
+    """Dense shared-expert SwiGLU.  ``shared`` is (wg, wu, wd) or the
+    fused 2-tuple ([wg|wu], wd) produced by transformer.fuse_projections —
+    one matmul instead of two for the same-input gate/up pair."""
+    if len(shared) == 2:
+        wgu, wd = shared
+        gu = mm(x, wgu)
+        F = gu.shape[-1] // 2
+        return mm(jax.nn.silu(gu[..., :F]) * gu[..., F:], wd)
+    wg, wu, wd = shared
+    return mm(jax.nn.silu(mm(x, wg)) * mm(x, wu), wd)
 
 
 def init_moe_params(key, hidden: int, intermediate: int, num_experts: int,

@@ -31,7 +31,8 @@ from ..ops.rotary import apply_rope, make_rope_table
 from . import mla as mla_mod
 from . import moe as moe_mod
 from .layers import (
-    init_linear, mm, quantize_linear, quantize_linear4, rms_norm, swiglu,
+    concat_out, init_linear, mm, quantize_linear, quantize_linear4, rms_norm,
+    swiglu,
 )
 
 
@@ -184,7 +185,8 @@ def forward(
     # forces XLA to materialize ~contiguous copies for the Pallas custom
     # call (measured 5.2 ms/step at the midsize shape).  The fused kernel
     # takes the full [L, E, ...] stacks plus the layer index instead.
-    layers_xs, moe_stacks = split_moe_stacks(params["layers"], cfg)
+    layers_xs, moe_stacks = split_moe_stacks(
+        fuse_projections(params["layers"], cfg), cfg)
     layer_step = make_layer_step(
         batch, cfg, params["rope"], block_size=block_size, mesh=mesh,
         ep_dispatch=ep_dispatch, mla_kv=mla_kv,
@@ -208,6 +210,35 @@ def forward(
     if collect_expert_counts:
         return logits, new_cache, counts
     return logits, new_cache
+
+
+def fuse_projections(layers: dict, cfg: ModelConfig) -> dict:
+    """Fuse same-input projection pairs along their output axis BEFORE the
+    layer scan (q_a|kv_a -> qkv_a, wq|wkv -> wqkv, shared gate|up): each
+    fusion halves a pair of small decode matmuls whose cost is per-op
+    dispatch latency (~10-20 us/op on v5e), and the concat itself runs once
+    per step on the [L, ...] stacks (~7 MB, ~10 us) — the layer scan then
+    slices the fused stack exactly as it sliced the originals.  Bit-exact:
+    per-output-channel scales concatenate losslessly (layers.concat_out).
+    Skipped pairs (mixed float/quant, INT4 half_out) stay unfused."""
+    out = dict(layers)
+    for a, b, fused in (("q_a", "kv_a", "qkv_a"), ("wq", "wkv", "wqkv")):
+        if a in out and b in out:
+            f = concat_out(out[a], out[b])
+            if f is not None:
+                out.pop(a)
+                out.pop(b)
+                out[fused] = f
+    if "moe" in out and isinstance(out["moe"], dict) \
+            and out["moe"].get("shared") is not None \
+            and len(out["moe"]["shared"]) == 3:
+        wg, wu, wd = out["moe"]["shared"]
+        f = concat_out(wg, wu)
+        if f is not None:
+            moe = dict(out["moe"])
+            moe["shared"] = (f, wd)
+            out["moe"] = moe
+    return out
 
 
 def split_moe_stacks(layers: dict, cfg: ModelConfig):
@@ -289,8 +320,7 @@ def _ffn_block(layer, h, cfg, *, mesh, ep_dispatch, moe_stacks, li,
             else:
                 f = ep_moe_ffn(xf, m_ep, cfg, mesh, expert_map=emap)
             if "shared" in m:  # dense shared expert stays under GSPMD
-                wg, wu, wd = m["shared"]
-                f = f + mm(jax.nn.silu(mm(xf, wg)) * mm(xf, wu), wd)
+                f = f + moe_mod.shared_expert_ffn(xf, m["shared"])
         else:
             f, _aux = moe_mod.moe_ffn(
                 xf,
@@ -342,7 +372,8 @@ def forward_mixed(
     hp = params["embed"][batch_p.tokens]
     hd = params["embed"][batch_d.tokens]
 
-    layers_xs, moe_stacks = split_moe_stacks(params["layers"], cfg)
+    layers_xs, moe_stacks = split_moe_stacks(
+        fuse_projections(params["layers"], cfg), cfg)
 
     def layer_step(carry, xs):
         hp, hd = carry
@@ -395,8 +426,13 @@ def _attn(layer, cache_l, h, batch, cfg, rope, block_size, mesh=None):
     B, T, H = h.shape
     D, Hq, Hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
     x = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
-    q = mm(x, layer["wq"]).reshape(B, T, Hq, D)
-    kv = mm(x, layer["wkv"]).reshape(B, T, 2 * Hkv, D)
+    if "wqkv" in layer:  # fuse_projections: one matmul for q|k|v
+        qkv = mm(x, layer["wqkv"])
+        q = qkv[..., : Hq * D].reshape(B, T, Hq, D)
+        kv = qkv[..., Hq * D:].reshape(B, T, 2 * Hkv, D)
+    else:
+        q = mm(x, layer["wq"]).reshape(B, T, Hq, D)
+        kv = mm(x, layer["wkv"]).reshape(B, T, 2 * Hkv, D)
     k, v = kv[:, :, :Hkv], kv[:, :, Hkv:]
     q = apply_rope(q, batch.positions, rope)
     k = apply_rope(k, batch.positions, rope)
