@@ -33,6 +33,8 @@ DECODE_STEPS = int(os.environ.get("VFS_BENCH_DECODE_STEPS", "32"))
 BATCH = int(os.environ.get("VFS_BENCH_BATCH", "16"))
 # "int8" (headline) | "int4" (fused nibble-unpack experts) | "none"
 WEIGHT_QUANT = os.environ.get("VFS_BENCH_WEIGHT_QUANT", "int8")
+# prefill chunk budget (max_num_batched_tokens); sweep: benchmarks/sweep_chunk.py
+CHUNK = int(os.environ.get("VFS_BENCH_CHUNK", "2048"))
 
 HBM_BYTES_PER_S = 819e9  # v5e
 MXU_BF16_FLOPS = 197e12  # v5e peak (bf16 activations; int8 weights upconvert)
@@ -63,7 +65,7 @@ def build_engine(batch: int = BATCH, decode_steps: int = DECODE_STEPS):
         # decode_steps 32: >=3 measured macro-step windows per run, so the
         # decode rate isn't a single-window measurement.
         scheduler=SchedulerConfig(max_num_seqs=batch,
-                                  max_num_batched_tokens=2048,
+                                  max_num_batched_tokens=CHUNK,
                                   decode_steps=decode_steps),
         # scope="experts" measured a wash on v5e (probe_step: 8.71 vs
         # 8.58 ms — the extra bf16 dense bytes cancel the convert savings),
