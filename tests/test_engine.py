@@ -144,18 +144,18 @@ class TestEngineLifecycle:
         rid = eng2.add_request([11, 12, 13],
                                SamplingParams(max_new_tokens=6, temperature=0.0,
                                               eos_token_id=eos))
+        req = eng2.scheduler.requests[rid]  # finished requests are popped
         while eng2.has_unfinished:
             eng2.step()
-        req = eng2.scheduler.requests[rid]
         assert req.status == RequestStatus.FINISHED_STOPPED
         assert req.output_token_ids[-1] == eos and len(req.output_token_ids) == 2
 
     def test_max_new_tokens_finishes(self, engine_factory):
         eng = engine_factory()
         rid = eng.add_request([1, 2, 3], GREEDY)
+        req = eng.scheduler.requests[rid]  # finished requests are popped
         while eng.has_unfinished:
             eng.step()
-        req = eng.scheduler.requests[rid]
         assert req.status == RequestStatus.FINISHED_LENGTH
         assert len(req.output_token_ids) == 6
         assert eng.kv_mgr.usage == 0.0  # everything freed
@@ -445,14 +445,15 @@ class TestMultiStepDecode:
         eng = LLMEngine(self._cfg(8))
         sp = SamplingParams(max_new_tokens=16, temperature=0.0, ignore_eos=True)
         r0 = eng.add_request(list(range(1, 10)), sp)
+        req0 = eng.scheduler.requests[r0]  # finished requests are popped
         eng.step()  # prefill r0
         eng.step()  # macro decode r0
         r1 = eng.add_request(list(range(30, 45)), sp)
+        req1 = eng.scheduler.requests[r1]
         while eng.has_unfinished:
             eng.step()
-        reqs = eng.scheduler.requests
-        assert len(reqs[r0].output_token_ids) == 16
-        assert len(reqs[r1].output_token_ids) == 16
+        assert len(req0.output_token_ids) == 16
+        assert len(req1.output_token_ids) == 16
 
 
 class TestPriorityPolicy:

@@ -382,7 +382,8 @@ class TestSchedulerNativeConnector:
         # The remote request is parked; the local one is being served.
         assert eng.scheduler.requests[rid].status is RequestStatus.WAITING_FOR_REMOTE_KVS
         assert eng.scheduler.requests[local_rid].status is RequestStatus.RUNNING
-        while not eng.scheduler.requests[local_rid].is_finished:
+        local_req = eng.scheduler.requests[local_rid]  # popped on finish
+        while not local_req.is_finished:
             eng.step()
         assert eng.scheduler.requests[rid].status is RequestStatus.WAITING_FOR_REMOTE_KVS
 
@@ -390,15 +391,15 @@ class TestSchedulerNativeConnector:
         import time as _t
 
         out = []
+        req = eng.scheduler.requests[rid]  # survives the finish-pop
         for _ in range(200):
             got = eng.step()
             if not got:
                 _t.sleep(0.005)  # let the fetch thread land the pull
             out += [t for r, t in got if r == rid]
-            if eng.scheduler.requests[rid].is_finished:
+            if req.is_finished:
                 break
         assert out == cold[0]
-        req = eng.scheduler.requests[rid]
         assert req.num_remote_tokens >= 32          # 2 of 3 blocks pulled
         assert eng.kv_mgr.hit_rate > 0              # admission hit the prefix
 
@@ -481,8 +482,8 @@ class TestStreamingPublish:
             if not emitted:
                 _t.sleep(0.005)  # remote pull in flight
             out += [t for r, t in emitted if r == rid]
-            if wd.engine.scheduler.requests[rid].is_finished:
-                break
+            if rid not in wd.engine.scheduler.requests:
+                break  # finished requests are popped
         assert out == cold[0]
         # Prefill at the decode node = last block + final token only.
         assert wd.engine.metrics["num_prefill_tokens"] <= 17

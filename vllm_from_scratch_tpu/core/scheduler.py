@@ -93,6 +93,7 @@ class Scheduler:
         req.status = RequestStatus.FINISHED_ABORTED
         self.kv.free(req)
         self._pull_started.discard(req_id)
+        self.requests.pop(req_id, None)
         if req in self.waiting:
             self.waiting.remove(req)
         if req in self.running:
@@ -326,6 +327,10 @@ class Scheduler:
                 self.kv.free(req)
                 self.running.remove(req)
                 self._pull_started.discard(req.req_id)
+                # Drop the id->request entry too: a long-running server
+                # otherwise accumulates every request ever served (same
+                # leak class as _pull_started, ADVICE r2).
+                self.requests.pop(req.req_id, None)
             else:
                 self.kv.cache_blocks(req)
         return emitted

@@ -302,13 +302,13 @@ def demo_pd_scheduler_native():
     decode = PDWorker(eng(), KVConnector(1, meta, TransferEngine(1), 16),
                       store).attach()
     rid = decode.engine.add_request(prompt, sp)
+    req = decode.engine.scheduler.requests[rid]  # survives the finish-pop
     toks = []
-    while not decode.engine.scheduler.requests[rid].is_finished:
+    while not req.is_finished:
         got = decode.engine.step()
         if not got:
             _t.sleep(0.003)
         toks += [t for r, t in got if r == rid]
-    req = decode.engine.scheduler.requests[rid]
     print(f"  decode node admitted with {req.num_remote_tokens} remote KV "
           f"tokens; local prefill was "
           f"{decode.engine.metrics['num_prefill_tokens']} tokens "
