@@ -7,7 +7,7 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=benchmarks/r3_tpu_session.log
 stages=("$@")
-[ ${#stages[@]} -eq 0 ] && stages=(gate int4probe bench int4bench chunk itl trace)
+[ ${#stages[@]} -eq 0 ] && stages=(gate int4probe bench int4bench chunk itl serving trace)
 
 run() { echo "=== $1 ($(date +%H:%M:%S)) ===" | tee -a "$LOG"; shift; "$@" 2>&1 | tee -a "$LOG"; }
 
@@ -26,6 +26,7 @@ for s in "${stages[@]}"; do
     chunk)     run chunk timeout 5400 python -u benchmarks/sweep_chunk.py 1024 2048 4096 8192 ;;
     itl)       run itl timeout 3600 python -u -c \
                  "import sys; sys.path.insert(0,'.'); from benchmarks.bench_midsize import run_mixed_itl; run_mixed_itl()" ;;
+    serving)   run serving timeout 3600 python -u benchmarks/bench_serving.py ;;
     trace)     run trace timeout 3600 python -u benchmarks/capture_trace.py ;;
     *) echo "unknown stage $s" ;;
   esac

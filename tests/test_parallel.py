@@ -357,6 +357,28 @@ class TestContextParallelServing:
         ).generate(prompts, GREEDY)
         assert list(base.values()) == list(cptp.values())
 
+    def test_cp2_dp2_matches_single_device(self):
+        """CP x DP composition: batch rows shard over "dp" (attention is
+        dp-local), the cache stays dp-replicated via an all-gathered write,
+        slots still shard over "cp".  Throughput scales with dp while each
+        replica-group serves cp x one chip's context."""
+        prompts = [list(range(1, 101)), [5, 6, 7], list(range(40, 90)),
+                   [9, 9, 9, 9]]
+        base = LLMEngine(self._mla_cfg()).generate(prompts, GREEDY)
+        cpdp = LLMEngine(
+            self._mla_cfg(ParallelConfig(cp_size=2, dp_size=2))
+        ).generate(prompts, GREEDY)
+        assert list(base.values()) == list(cpdp.values())
+
+    def test_cp2_dp2_tp2_flagship_mesh(self):
+        """All three serving axes at once on the 8-device mesh."""
+        prompts = [list(range(1, 80)), [5, 6, 7], [11, 12], [3, 1, 4]]
+        base = LLMEngine(self._mla_cfg()).generate(prompts, GREEDY)
+        full = LLMEngine(
+            self._mla_cfg(ParallelConfig(cp_size=2, dp_size=2, tp_size=2))
+        ).generate(prompts, GREEDY)
+        assert list(base.values()) == list(full.values())
+
     def _gqa_cfg(self, parallel=ParallelConfig(), num_blocks=64,
                  kv_quant="none", num_kv_heads=4):
         return EngineConfig(

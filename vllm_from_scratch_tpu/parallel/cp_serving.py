@@ -77,10 +77,19 @@ def cp_mla_attention(
     n = mesh.shape[axis]
     Vbs = bs * n
 
+    dp = "dp" if mesh.shape.get("dp", 1) > 1 else None
+
     def local(qn, qr, cn, krn, cache, slots, bt, ctx, ql, w_uk, w_uv):
         me = jax.lax.axis_index(axis)
 
         # ---- write the owned subset of this chunk ----
+        # Under dp the cache is REPLICATED over "dp" while rows shard, so
+        # every dp rank must apply every row's write: gather the row shards
+        # first (small — this step's new latents only), then scatter.
+        if dp is not None:
+            cn = jax.lax.all_gather(cn, dp, tiled=True)
+            krn = jax.lax.all_gather(krn, dp, tiled=True)
+            slots = jax.lax.all_gather(slots, dp, tiled=True)
         vb = slots // Vbs
         within = slots % Vbs
         owned = (within // bs) == me
@@ -88,9 +97,9 @@ def cp_mla_attention(
         cache = write_mla_cache(cache, cn, krn, local_slot)
 
         # ---- partial attention over the local context slice ----
-        N = bt.shape[1]
+        Bl, N = bt.shape                    # per-dp-shard batch rows
         offs = jnp.arange(bs, dtype=bt.dtype)
-        slot_idx = (bt[:, :, None] * bs + offs).reshape(B, N * bs)
+        slot_idx = (bt[:, :, None] * bs + offs).reshape(Bl, N * bs)
         # Global token position of local row (col j, off o): j*Vbs + me*bs + o.
         kv_pos = (
             jnp.arange(N, dtype=jnp.int32)[:, None] * Vbs + me * bs + offs[None, :]
@@ -141,13 +150,16 @@ def cp_mla_attention(
     # row-parallel matmul.  The latent write is head-less: c/kr replicate
     # over tp, and every tp rank performs the identical scatter.
     tp = "tp" if mesh.shape.get("tp", 1) > 1 else None
-    head_spec = P(None, None, tp, None)                   # [B, T, H, d]
+    # cp x dp composition: batch dims shard over "dp" (attention is
+    # dp-local; only the tiny new-latent write gathers across dp above).
+    head_spec = P(dp, None, tp, None)                     # [B, T, H, d]
     w_spec = P(tp, None, None)                            # [H, ., .]
+    row_spec = P(dp)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(head_spec, head_spec, P(), P(), cache_spec, P(), P(), P(),
-                  P(), w_spec, w_spec),
+        in_specs=(head_spec, head_spec, P(dp, None), P(dp, None), cache_spec,
+                  row_spec, P(dp, None), row_spec, row_spec, w_spec, w_spec),
         out_specs=(head_spec, cache_spec),
         check_vma=False,
     )
@@ -187,10 +199,18 @@ def cp_gqa_attention(
     n = mesh.shape[axis]
     Vbs = bs * n
 
+    dp = "dp" if mesh.shape.get("dp", 1) > 1 else None
+
     def local(q, kn, vn, cache, slots, bt, ctx, ql):
         me = jax.lax.axis_index(axis)
 
         # ---- write the owned subset of this chunk ----
+        # dp-replicated cache: gather the row-sharded new K/V so every dp
+        # rank applies the identical scatter (see cp_mla_attention).
+        if dp is not None:
+            kn = jax.lax.all_gather(kn, dp, tiled=True)
+            vn = jax.lax.all_gather(vn, dp, tiled=True)
+            slots = jax.lax.all_gather(slots, dp, tiled=True)
         vb = slots // Vbs
         within = slots % Vbs
         owned = (within // bs) == me
@@ -198,9 +218,9 @@ def cp_gqa_attention(
         cache = write_kv_cache(cache, kn, vn, local_slot)
 
         # ---- partial attention over the local context slice ----
-        N = bt.shape[1]
+        Bl, N = bt.shape                    # per-dp-shard batch rows
         offs = jnp.arange(bs, dtype=bt.dtype)
-        slot_idx = (bt[:, :, None] * bs + offs).reshape(B, N * bs)
+        slot_idx = (bt[:, :, None] * bs + offs).reshape(Bl, N * bs)
         kv_pos = (
             jnp.arange(N, dtype=jnp.int32)[:, None] * Vbs + me * bs
             + offs[None, :]
@@ -208,9 +228,9 @@ def cp_gqa_attention(
 
         Hkv = cache.k.shape[1]
         G = q.shape[2] // Hkv
-        k = jnp.take(cache.k, slot_idx, axis=0, mode="clip")  # [B,S_l,Hkv,D]
+        k = jnp.take(cache.k, slot_idx, axis=0, mode="clip")  # [Bl,S_l,Hkv,D]
         v = jnp.take(cache.v, slot_idx, axis=0, mode="clip")
-        qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
+        qf = q.astype(jnp.float32).reshape(Bl, T, Hkv, G, D)
         scores = jnp.einsum("btkgd,bskd->bkgts", qf, k.astype(jnp.float32))
         if cache.quantized:
             ks = jnp.take(cache.k_scale, slot_idx, axis=0, mode="clip")
@@ -234,19 +254,19 @@ def cp_gqa_attention(
         scale = jnp.exp(m - m_g)
         l_g = jax.lax.psum(l * scale, axis)
         acc_g = jax.lax.psum(acc * scale[..., None], axis)
-        out = acc_g / jnp.maximum(l_g, _EPS)[..., None]     # [B,Hkv,G,T,D]
-        out = out.transpose(0, 3, 1, 2, 4).reshape(B, T, -1, D)
+        out = acc_g / jnp.maximum(l_g, _EPS)[..., None]     # [Bl,Hkv,G,T,D]
+        out = out.transpose(0, 3, 1, 2, 4).reshape(Bl, T, -1, D)
         return out, cache
 
     tp = "tp" if mesh.shape.get("tp", 1) > 1 else None
     cache_spec = KVCache(k=P(axis, tp, None), v=P(axis, tp, None),
                          k_scale=P(axis, tp), v_scale=P(axis, tp))
-    head_spec = P(None, None, tp, None)
+    head_spec = P(dp, None, tp, None)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(head_spec, P(None, tp, None), P(None, tp, None), cache_spec,
-                  P(), P(), P(), P()),
+        in_specs=(head_spec, P(dp, tp, None), P(dp, tp, None), cache_spec,
+                  P(dp), P(dp, None), P(dp), P(dp)),
         out_specs=(head_spec, cache_spec),
         check_vma=False,
     )

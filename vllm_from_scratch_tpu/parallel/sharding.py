@@ -38,18 +38,17 @@ from ..core.config import ModelConfig, ParallelConfig
 def make_mesh(parallel: ParallelConfig, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if parallel.cp_size > 1:
-        # Context parallelism (parallel/cp_serving.py): ("cp", "tp") mesh —
-        # the latent cache's slot axis shards over "cp" while q_b/wo heads
-        # shard over "tp" within each cp rank (ref sizes PCP/DCP alongside
-        # TP, BLOG_PART3_V2.md:709-768).  tp=1 degenerates to the 1-D case.
-        assert parallel.dp_size == parallel.pp_size == 1, (
-            "cp_size > 1 requires dp_size == pp_size == 1"
-        )
-        n = parallel.cp_size * parallel.tp_size
+        # Context parallelism (parallel/cp_serving.py): ("dp", "cp", "tp")
+        # mesh — batch rows shard over "dp", the cache's slot axis over
+        # "cp", q_b/wo heads over "tp" within each (dp, cp) rank (ref sizes
+        # PCP/DCP alongside TP, BLOG_PART3_V2.md:709-768).  Size-1 axes
+        # degenerate cleanly.
+        assert parallel.pp_size == 1, "cp_size > 1 requires pp_size == 1"
+        n = parallel.dp_size * parallel.cp_size * parallel.tp_size
         assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-        dev = np.asarray(devices[:n]).reshape(parallel.cp_size,
-                                              parallel.tp_size)
-        return Mesh(dev, ("cp", "tp"))
+        dev = np.asarray(devices[:n]).reshape(
+            parallel.dp_size, parallel.cp_size, parallel.tp_size)
+        return Mesh(dev, ("dp", "cp", "tp"))
     if parallel.pp_size > 1:
         # Pipeline stages x tensor parallelism: a 2-D ("pp", "tp") mesh.
         # The pipeline schedule is manual over "pp" (shard_map axis_names);
