@@ -283,6 +283,25 @@ class TestPPxTP:
         assert wq.sharding.shard_shape(wq.shape) == (1, wq.shape[1],
                                                      wq.shape[2] // 2)
 
+    def test_pp2_dp2_matches_single_device(self):
+        """PP x DP: batch rows shard over the auto "dp" axis while the
+        pipeline schedule stays manual over "pp" (weights and KV replicate
+        over dp; each dp replica-pair runs the same stage schedule on its
+        half of the rows)."""
+        base = LLMEngine(mha_cfg()).generate(PROMPTS, GREEDY)
+        pd = LLMEngine(mha_cfg(ParallelConfig(pp_size=2, dp_size=2))).generate(
+            PROMPTS, GREEDY)
+        assert list(base.values()) == list(pd.values())
+
+    def test_pp2_dp2_tp2_flagship(self):
+        """All three axes (pipeline stages x data x tensor) on the 8-device
+        mesh, MLA + MoE + shared expert."""
+        base = LLMEngine(flagship_cfg()).generate(PROMPTS, GREEDY)
+        full = LLMEngine(flagship_cfg(
+            ParallelConfig(pp_size=2, dp_size=2, tp_size=2))).generate(
+                PROMPTS, GREEDY)
+        assert list(base.values()) == list(full.values())
+
 
 class TestContextParallelServing:
     """Engine-integrated CP (VERDICT r1 #3; ref BLOG_PART3_V2.md:709-768):

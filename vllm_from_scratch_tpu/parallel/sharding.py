@@ -50,15 +50,16 @@ def make_mesh(parallel: ParallelConfig, devices=None) -> Mesh:
             parallel.dp_size, parallel.cp_size, parallel.tp_size)
         return Mesh(dev, ("dp", "cp", "tp"))
     if parallel.pp_size > 1:
-        # Pipeline stages x tensor parallelism: a 2-D ("pp", "tp") mesh.
+        # Pipeline stages x data x tensor parallelism: ("pp", "dp", "tp").
         # The pipeline schedule is manual over "pp" (shard_map axis_names);
-        # "tp" stays a GSPMD auto axis inside each stage, so attention
-        # heads / FFN columns shard exactly as in the plain TP path.
-        assert parallel.dp_size == 1, "pp_size > 1 requires dp_size == 1"
-        n = parallel.pp_size * parallel.tp_size
+        # "dp" and "tp" stay GSPMD auto axes inside each stage, so batch
+        # rows and attention heads / FFN columns shard exactly as in the
+        # plain DPxTP path.  Size-1 axes degenerate cleanly.
+        n = parallel.pp_size * parallel.dp_size * parallel.tp_size
         assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
-        dev = np.asarray(devices[:n]).reshape(parallel.pp_size, parallel.tp_size)
-        return Mesh(dev, ("pp", "tp"))
+        dev = np.asarray(devices[:n]).reshape(
+            parallel.pp_size, parallel.dp_size, parallel.tp_size)
+        return Mesh(dev, ("pp", "dp", "tp"))
     n = parallel.dp_size * parallel.tp_size
     assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
     dev = np.asarray(devices[:n]).reshape(parallel.dp_size, parallel.tp_size)
