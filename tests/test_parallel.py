@@ -398,6 +398,38 @@ class TestContextParallelServing:
         ).generate(prompts, GREEDY)
         assert list(base.values()) == list(full.values())
 
+    def test_cp2_pp2_matches_single_device(self):
+        """CP composes with PP: both are manual axes of the pipeline
+        shard_map (the cp attention body runs directly inside the stage
+        schedule — a shard_map cannot nest); the cache shards its layer
+        axis over "pp" AND its slot axis over "cp"."""
+        prompts = [list(range(1, 101)), [5, 6, 7], list(range(40, 90)),
+                   [9, 9, 9, 9]]
+        base = LLMEngine(self._mla_cfg()).generate(prompts, GREEDY)
+        cppp = LLMEngine(
+            self._mla_cfg(ParallelConfig(cp_size=2, pp_size=2))
+        ).generate(prompts, GREEDY)
+        assert list(base.values()) == list(cppp.values())
+
+    def test_cp2_pp2_tp2_full_stack(self):
+        """Long context x pipeline stages x tensor parallelism on the
+        8-device mesh (MLA)."""
+        prompts = [list(range(1, 80)), [5, 6, 7], [11, 12], [3, 1, 4]]
+        base = LLMEngine(self._mla_cfg()).generate(prompts, GREEDY)
+        full = LLMEngine(
+            self._mla_cfg(ParallelConfig(cp_size=2, pp_size=2, tp_size=2))
+        ).generate(prompts, GREEDY)
+        assert list(base.values()) == list(full.values())
+
+    def test_cp2_pp2_gqa_matches_single_device(self):
+        """The composed manual region serves GQA too (cp_gqa body)."""
+        prompts = [list(range(1, 90)), [5, 6, 7], [11, 12], [3, 1, 4]]
+        base = LLMEngine(self._gqa_cfg()).generate(prompts, GREEDY)
+        cppp = LLMEngine(
+            self._gqa_cfg(ParallelConfig(cp_size=2, pp_size=2))
+        ).generate(prompts, GREEDY)
+        assert list(base.values()) == list(cppp.values())
+
     def _gqa_cfg(self, parallel=ParallelConfig(), num_blocks=64,
                  kv_quant="none", num_kv_heads=4):
         return EngineConfig(

@@ -80,11 +80,14 @@ def mla_attention_block(
     block_size: int,
     allow_pallas: bool = True,
     mesh=None,
+    cp_manual: int = 0,
 ) -> Tuple[jax.Array, MLACache]:
     """Pre-norm MLA attention with paged latent KV read/write.
 
     When ``mesh`` carries a "cp" axis the write+attend runs context-parallel
-    over the cp-sharded cache (parallel/cp_serving.py — PCP/DCP)."""
+    over the cp-sharded cache (parallel/cp_serving.py — PCP/DCP).
+    ``cp_manual=n``: the caller is ALREADY inside a manual region over "cp"
+    of size n (the pipeline runner, pp x cp) — run the cp body directly."""
     B, T, _ = h.shape
     nh = cfg.num_heads
     dn, dr, dv, r, _ = mla_dims(cfg)
@@ -113,6 +116,19 @@ def mla_attention_block(
     k_rope = apply_rope(k_rope, batch.positions, rope_table)[:, :, 0]
 
     w_uk, w_uv = split_kv_b(layer["kv_b"], nh, dn, dv)
+    if cp_manual > 1:
+        from ..parallel.cp_serving import cp_mla_attention_manual
+
+        out, cache_l = cp_mla_attention_manual(
+            q_nope, q_rope,
+            c_kv.reshape(B * T, r), k_rope.reshape(B * T, dr),
+            cache_l, batch.slots.reshape(B * T),
+            batch.block_tables, batch.ctx_lens, batch.q_lens,
+            w_uk, w_uv, cp_size=cp_manual,
+            block_size=block_size, sm_scale=(dn + dr) ** -0.5,
+        )
+        return (mm(out.astype(h.dtype).reshape(B, T, nh * dv), layer["wo"]),
+                cache_l)
     if mesh is not None and mesh.shape.get("cp", 1) > 1:
         from ..parallel.cp_serving import cp_mla_attention
 

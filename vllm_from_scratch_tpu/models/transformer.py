@@ -256,7 +256,7 @@ def split_moe_stacks(layers: dict, cfg: ModelConfig):
 def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
                     block_size: int, mesh=None, ep_dispatch: str = "psum",
                     mla_kv: str = "replicated", collect_counts: bool = False,
-                    moe_stacks=None):
+                    moe_stacks=None, cp_manual: int = 0):
     """The per-layer scan body, reusable by forward() and the pipeline-
     parallel runner (parallel/pp.py) which scans each stage's layer slice.
     xs = (layer_params_slice, cache_slice, layer_idx).
@@ -272,10 +272,11 @@ def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
             a, cache_l = mla_mod.mla_attention_block(
                 layer, cache_l, h, batch, cfg, rope, block_size=block_size,
                 allow_pallas=(mla_kv != "tpla"), mesh=mesh,
+                cp_manual=cp_manual,
             )
         else:
             a, cache_l = _attn(layer, cache_l, h, batch, cfg, rope, block_size,
-                               mesh=mesh)
+                               mesh=mesh, cp_manual=cp_manual)
         h = h + a
         h, counts_l = _ffn_block(layer, h, cfg, mesh=mesh,
                                  ep_dispatch=ep_dispatch,
@@ -417,12 +418,14 @@ def forward_mixed(
     return logits_p, logits_d, new_cache
 
 
-def _attn(layer, cache_l, h, batch, cfg, rope, block_size, mesh=None):
+def _attn(layer, cache_l, h, batch, cfg, rope, block_size, mesh=None,
+          cp_manual: int = 0):
     """Pre-norm attention block with paged KV read/write.
 
     When ``mesh`` carries a "cp" axis the write+attend runs context-parallel
     over the cp-sharded paged cache (parallel/cp_serving.cp_gqa_attention —
-    GQA long context, VERDICT r2 #6)."""
+    GQA long context, VERDICT r2 #6).  ``cp_manual=n``: already inside a
+    manual region over "cp" of size n (pp x cp) — run the body directly."""
     B, T, H = h.shape
     D, Hq, Hkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
     x = rms_norm(h, layer["attn_norm"], cfg.rms_norm_eps)
@@ -437,6 +440,17 @@ def _attn(layer, cache_l, h, batch, cfg, rope, block_size, mesh=None):
     q = apply_rope(q, batch.positions, rope)
     k = apply_rope(k, batch.positions, rope)
 
+    if cp_manual > 1:
+        from ..parallel.cp_serving import cp_gqa_attention_manual
+
+        out, cache_l = cp_gqa_attention_manual(
+            q, k.reshape(B * T, Hkv, D), v.reshape(B * T, Hkv, D),
+            cache_l, batch.slots.reshape(B * T),
+            batch.block_tables, batch.ctx_lens, batch.q_lens,
+            cp_size=cp_manual, block_size=block_size, sm_scale=D ** -0.5,
+        )
+        return (mm(out.astype(h.dtype).reshape(B, T, Hq * D), layer["wo"]),
+                cache_l)
     if mesh is not None and mesh.shape.get("cp", 1) > 1:
         from ..parallel.cp_serving import cp_gqa_attention
 

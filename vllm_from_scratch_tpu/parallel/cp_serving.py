@@ -51,6 +51,167 @@ def cp_virtual_block_size(block_size: int, cp_size: int) -> int:
     return block_size * cp_size
 
 
+def _mla_cp_body(qn, qr, cn, krn, cache, slots, bt, ctx, ql, w_uk, w_uv, *,
+                 axis, n, bs, sm_scale, dp=None):
+    """Per-cp-rank write-then-attend body (MLA latent cache).
+
+    Runs INSIDE a manual region where ``axis`` is a manual mesh axis —
+    either cp_mla_attention's own shard_map or an enclosing one (the
+    pipeline runner composes cp with pp by calling this directly,
+    parallel/pp.py).  ``n`` = cp size, ``bs`` = PHYSICAL block size."""
+    Vbs = bs * n
+    me = jax.lax.axis_index(axis)
+    T = qn.shape[1]
+
+    # ---- write the owned subset of this chunk ----
+    # Under dp the cache is REPLICATED over "dp" while rows shard, so
+    # every dp rank must apply every row's write: gather the row shards
+    # first (small — this step's new latents only), then scatter.
+    if dp is not None:
+        cn = jax.lax.all_gather(cn, dp, tiled=True)
+        krn = jax.lax.all_gather(krn, dp, tiled=True)
+        slots = jax.lax.all_gather(slots, dp, tiled=True)
+    vb = slots // Vbs
+    within = slots % Vbs
+    owned = (within // bs) == me
+    local_slot = jnp.where(owned, vb * bs + within % bs, 0)
+    cache = write_mla_cache(cache, cn, krn, local_slot)
+
+    # ---- partial attention over the local context slice ----
+    Bl, N = bt.shape                    # per-dp-shard batch rows
+    offs = jnp.arange(bs, dtype=bt.dtype)
+    slot_idx = (bt[:, :, None] * bs + offs).reshape(Bl, N * bs)
+    # Global token position of local row (col j, off o): j*Vbs + me*bs + o.
+    kv_pos = (
+        jnp.arange(N, dtype=jnp.int32)[:, None] * Vbs + me * bs + offs[None, :]
+    ).reshape(N * bs)[None, None, :]                       # [1, 1, S_l]
+
+    c = jnp.take(cache.c, slot_idx, axis=0, mode="clip").astype(jnp.float32)
+    kr = jnp.take(cache.kr, slot_idx, axis=0, mode="clip").astype(jnp.float32)
+
+    q_l = jnp.einsum("bthd,hdr->bthr", qn.astype(jnp.float32),
+                     w_uk.astype(jnp.float32))
+    scores_c = jnp.einsum("bthr,bsr->bhts", q_l, c)
+    scores_r = jnp.einsum("bthd,bsd->bhts", qr.astype(jnp.float32), kr)
+    if cache.quantized:
+        cs = jnp.take(cache.c_scale, slot_idx, axis=0, mode="clip")
+        ks = jnp.take(cache.kr_scale, slot_idx, axis=0, mode="clip")
+        scores_c = scores_c * cs[:, None, None, :]
+        scores_r = scores_r * ks[:, None, None, :]
+    else:
+        cs = jnp.ones(slot_idx.shape, jnp.float32)
+    scores = (scores_c + scores_r) * sm_scale               # [B, H, T, S_l]
+
+    q_pos = (ctx - ql)[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    mask = (kv_pos <= q_pos[:, :, None]) & (kv_pos < ctx[:, None, None])
+    mask_b = mask[:, None]                                  # [B, 1, T, S_l]
+
+    scores = jnp.where(mask_b, scores, _NEG)
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), _NEG)  # [B,H,T,1]
+    e = jnp.where(mask_b, jnp.exp(scores - m), 0.0)
+    l = jnp.sum(e, axis=-1)                                 # [B, H, T]
+    acc = jnp.einsum("bhts,bsr->bthr", e * cs[:, None, None, :], c)
+
+    # ---- flash merge across cp ranks (pmax + 2 psums over ICI) ----
+    m = m[..., 0]                                           # [B, H, T]
+    m_g = jax.lax.pmax(m, axis)
+    scale = jnp.exp(m - m_g)
+    l_g = jax.lax.psum(l * scale, axis)
+    acc_g = jax.lax.psum(acc * scale.transpose(0, 2, 1)[..., None], axis)
+    latent = acc_g / jnp.maximum(l_g, _EPS).transpose(0, 2, 1)[..., None]
+    out = jnp.einsum("bthr,hrv->bthv", latent, w_uv.astype(jnp.float32))
+    return out, cache
+
+
+def _gqa_cp_body(q, kn, vn, cache, slots, bt, ctx, ql, *,
+                 axis, n, bs, sm_scale, dp=None):
+    """Per-cp-rank write-then-attend body (paged GQA K/V cache); see
+    ``_mla_cp_body`` for the manual-region contract."""
+    Vbs = bs * n
+    me = jax.lax.axis_index(axis)
+    T = q.shape[1]
+
+    # ---- write the owned subset of this chunk ----
+    # dp-replicated cache: gather the row-sharded new K/V so every dp
+    # rank applies the identical scatter (see _mla_cp_body).
+    if dp is not None:
+        kn = jax.lax.all_gather(kn, dp, tiled=True)
+        vn = jax.lax.all_gather(vn, dp, tiled=True)
+        slots = jax.lax.all_gather(slots, dp, tiled=True)
+    vb = slots // Vbs
+    within = slots % Vbs
+    owned = (within // bs) == me
+    local_slot = jnp.where(owned, vb * bs + within % bs, 0)
+    cache = write_kv_cache(cache, kn, vn, local_slot)
+
+    # ---- partial attention over the local context slice ----
+    Bl, N = bt.shape                    # per-dp-shard batch rows
+    offs = jnp.arange(bs, dtype=bt.dtype)
+    slot_idx = (bt[:, :, None] * bs + offs).reshape(Bl, N * bs)
+    kv_pos = (
+        jnp.arange(N, dtype=jnp.int32)[:, None] * Vbs + me * bs
+        + offs[None, :]
+    ).reshape(N * bs)[None, None, :]                    # [1, 1, S_l]
+
+    Hkv = cache.k.shape[1]
+    G = q.shape[2] // Hkv
+    D = q.shape[3]
+    k = jnp.take(cache.k, slot_idx, axis=0, mode="clip")  # [Bl,S_l,Hkv,D]
+    v = jnp.take(cache.v, slot_idx, axis=0, mode="clip")
+    qf = q.astype(jnp.float32).reshape(Bl, T, Hkv, G, D)
+    scores = jnp.einsum("btkgd,bskd->bkgts", qf, k.astype(jnp.float32))
+    if cache.quantized:
+        ks = jnp.take(cache.k_scale, slot_idx, axis=0, mode="clip")
+        scores = scores * ks.transpose(0, 2, 1)[:, :, None, None, :]
+    scores = scores * sm_scale                          # [B,Hkv,G,T,S_l]
+
+    q_pos = (ctx - ql)[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    mask = (kv_pos <= q_pos[:, :, None]) & (kv_pos < ctx[:, None, None])
+    mask_b = mask[:, None, None]                        # [B,1,1,T,S_l]
+    scores = jnp.where(mask_b, scores, _NEG)
+    m = jnp.maximum(jnp.max(scores, axis=-1), _NEG)     # [B,Hkv,G,T]
+    e = jnp.where(mask_b, jnp.exp(scores - m[..., None]), 0.0)
+    l = jnp.sum(e, axis=-1)                             # [B,Hkv,G,T]
+    if cache.quantized:
+        vs = jnp.take(cache.v_scale, slot_idx, axis=0, mode="clip")
+        e = e * vs.transpose(0, 2, 1)[:, :, None, None, :]
+    acc = jnp.einsum("bkgts,bskd->bkgtd", e, v.astype(jnp.float32))
+
+    # ---- flash merge across cp ranks (pmax + 2 psums over ICI) ----
+    m_g = jax.lax.pmax(m, axis)
+    scale = jnp.exp(m - m_g)
+    l_g = jax.lax.psum(l * scale, axis)
+    acc_g = jax.lax.psum(acc * scale[..., None], axis)
+    out = acc_g / jnp.maximum(l_g, _EPS)[..., None]     # [Bl,Hkv,G,T,D]
+    out = out.transpose(0, 3, 1, 2, 4).reshape(Bl, T, -1, D)
+    return out, cache
+
+
+def cp_mla_attention_manual(q_nope, q_rope, c_new, kr_new, cache_l, slots,
+                            block_tables, ctx_lens, q_lens, w_uk, w_uv, *,
+                            cp_size: int, block_size: int, sm_scale: float,
+                            axis: str = "cp"):
+    """cp_mla_attention for callers ALREADY inside a manual region over
+    ``axis`` (the pipeline runner: pp x cp composition).  Operands are
+    per-rank shards: the cache's slot axis is the local 1/cp; everything
+    else replicates over cp."""
+    return _mla_cp_body(q_nope, q_rope, c_new, kr_new, cache_l, slots,
+                        block_tables, ctx_lens, q_lens, w_uk, w_uv,
+                        axis=axis, n=cp_size, bs=block_size,
+                        sm_scale=sm_scale)
+
+
+def cp_gqa_attention_manual(q, k_new, v_new, cache_l, slots, block_tables,
+                            ctx_lens, q_lens, *, cp_size: int,
+                            block_size: int, sm_scale: float,
+                            axis: str = "cp"):
+    """cp_gqa_attention for callers already inside a manual region (pp x cp
+    composition); see ``cp_mla_attention_manual``."""
+    return _gqa_cp_body(q, k_new, v_new, cache_l, slots, block_tables,
+                        ctx_lens, q_lens, axis=axis, n=cp_size,
+                        bs=block_size, sm_scale=sm_scale)
+
+
 def cp_mla_attention(
     q_nope: jax.Array,        # [B, T, H, dn] (replicated over cp)
     q_rope: jax.Array,        # [B, T, H, dr] (RoPE'd)
@@ -72,74 +233,14 @@ def cp_mla_attention(
     """Write-then-attend over the cp-sharded latent cache.
 
     Returns (out [B, T, H, dv] float32, updated cache)."""
-    B, T, H, dn = q_nope.shape
     bs = block_size
     n = mesh.shape[axis]
-    Vbs = bs * n
-
     dp = "dp" if mesh.shape.get("dp", 1) > 1 else None
 
     def local(qn, qr, cn, krn, cache, slots, bt, ctx, ql, w_uk, w_uv):
-        me = jax.lax.axis_index(axis)
-
-        # ---- write the owned subset of this chunk ----
-        # Under dp the cache is REPLICATED over "dp" while rows shard, so
-        # every dp rank must apply every row's write: gather the row shards
-        # first (small — this step's new latents only), then scatter.
-        if dp is not None:
-            cn = jax.lax.all_gather(cn, dp, tiled=True)
-            krn = jax.lax.all_gather(krn, dp, tiled=True)
-            slots = jax.lax.all_gather(slots, dp, tiled=True)
-        vb = slots // Vbs
-        within = slots % Vbs
-        owned = (within // bs) == me
-        local_slot = jnp.where(owned, vb * bs + within % bs, 0)
-        cache = write_mla_cache(cache, cn, krn, local_slot)
-
-        # ---- partial attention over the local context slice ----
-        Bl, N = bt.shape                    # per-dp-shard batch rows
-        offs = jnp.arange(bs, dtype=bt.dtype)
-        slot_idx = (bt[:, :, None] * bs + offs).reshape(Bl, N * bs)
-        # Global token position of local row (col j, off o): j*Vbs + me*bs + o.
-        kv_pos = (
-            jnp.arange(N, dtype=jnp.int32)[:, None] * Vbs + me * bs + offs[None, :]
-        ).reshape(N * bs)[None, None, :]                       # [1, 1, S_l]
-
-        c = jnp.take(cache.c, slot_idx, axis=0, mode="clip").astype(jnp.float32)
-        kr = jnp.take(cache.kr, slot_idx, axis=0, mode="clip").astype(jnp.float32)
-
-        q_l = jnp.einsum("bthd,hdr->bthr", qn.astype(jnp.float32),
-                         w_uk.astype(jnp.float32))
-        scores_c = jnp.einsum("bthr,bsr->bhts", q_l, c)
-        scores_r = jnp.einsum("bthd,bsd->bhts", qr.astype(jnp.float32), kr)
-        if cache.quantized:
-            cs = jnp.take(cache.c_scale, slot_idx, axis=0, mode="clip")
-            ks = jnp.take(cache.kr_scale, slot_idx, axis=0, mode="clip")
-            scores_c = scores_c * cs[:, None, None, :]
-            scores_r = scores_r * ks[:, None, None, :]
-        else:
-            cs = jnp.ones(slot_idx.shape, jnp.float32)
-        scores = (scores_c + scores_r) * sm_scale               # [B, H, T, S_l]
-
-        q_pos = (ctx - ql)[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-        mask = (kv_pos <= q_pos[:, :, None]) & (kv_pos < ctx[:, None, None])
-        mask_b = mask[:, None]                                  # [B, 1, T, S_l]
-
-        scores = jnp.where(mask_b, scores, _NEG)
-        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), _NEG)  # [B,H,T,1]
-        e = jnp.where(mask_b, jnp.exp(scores - m), 0.0)
-        l = jnp.sum(e, axis=-1)                                 # [B, H, T]
-        acc = jnp.einsum("bhts,bsr->bthr", e * cs[:, None, None, :], c)
-
-        # ---- flash merge across cp ranks (pmax + 2 psums over ICI) ----
-        m = m[..., 0]                                           # [B, H, T]
-        m_g = jax.lax.pmax(m, axis)
-        scale = jnp.exp(m - m_g)
-        l_g = jax.lax.psum(l * scale, axis)
-        acc_g = jax.lax.psum(acc * scale.transpose(0, 2, 1)[..., None], axis)
-        latent = acc_g / jnp.maximum(l_g, _EPS).transpose(0, 2, 1)[..., None]
-        out = jnp.einsum("bthr,hrv->bthv", latent, w_uv.astype(jnp.float32))
-        return out, cache
+        return _mla_cp_body(qn, qr, cn, krn, cache, slots, bt, ctx, ql,
+                            w_uk, w_uv, axis=axis, n=n, bs=bs,
+                            sm_scale=sm_scale, dp=dp)
 
     cache_spec = MLACache(c=P(axis, None), kr=P(axis, None),
                           c_scale=P(axis), kr_scale=P(axis))
@@ -194,69 +295,13 @@ def cp_gqa_attention(
     attention's rotating K/V (which moves the full context through every
     rank); kv-heads additionally shard over "tp" when the mesh has one.
     """
-    B, T, Hq, D = q.shape
     bs = block_size
     n = mesh.shape[axis]
-    Vbs = bs * n
-
     dp = "dp" if mesh.shape.get("dp", 1) > 1 else None
 
     def local(q, kn, vn, cache, slots, bt, ctx, ql):
-        me = jax.lax.axis_index(axis)
-
-        # ---- write the owned subset of this chunk ----
-        # dp-replicated cache: gather the row-sharded new K/V so every dp
-        # rank applies the identical scatter (see cp_mla_attention).
-        if dp is not None:
-            kn = jax.lax.all_gather(kn, dp, tiled=True)
-            vn = jax.lax.all_gather(vn, dp, tiled=True)
-            slots = jax.lax.all_gather(slots, dp, tiled=True)
-        vb = slots // Vbs
-        within = slots % Vbs
-        owned = (within // bs) == me
-        local_slot = jnp.where(owned, vb * bs + within % bs, 0)
-        cache = write_kv_cache(cache, kn, vn, local_slot)
-
-        # ---- partial attention over the local context slice ----
-        Bl, N = bt.shape                    # per-dp-shard batch rows
-        offs = jnp.arange(bs, dtype=bt.dtype)
-        slot_idx = (bt[:, :, None] * bs + offs).reshape(Bl, N * bs)
-        kv_pos = (
-            jnp.arange(N, dtype=jnp.int32)[:, None] * Vbs + me * bs
-            + offs[None, :]
-        ).reshape(N * bs)[None, None, :]                    # [1, 1, S_l]
-
-        Hkv = cache.k.shape[1]
-        G = q.shape[2] // Hkv
-        k = jnp.take(cache.k, slot_idx, axis=0, mode="clip")  # [Bl,S_l,Hkv,D]
-        v = jnp.take(cache.v, slot_idx, axis=0, mode="clip")
-        qf = q.astype(jnp.float32).reshape(Bl, T, Hkv, G, D)
-        scores = jnp.einsum("btkgd,bskd->bkgts", qf, k.astype(jnp.float32))
-        if cache.quantized:
-            ks = jnp.take(cache.k_scale, slot_idx, axis=0, mode="clip")
-            scores = scores * ks.transpose(0, 2, 1)[:, :, None, None, :]
-        scores = scores * sm_scale                          # [B,Hkv,G,T,S_l]
-
-        q_pos = (ctx - ql)[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
-        mask = (kv_pos <= q_pos[:, :, None]) & (kv_pos < ctx[:, None, None])
-        mask_b = mask[:, None, None]                        # [B,1,1,T,S_l]
-        scores = jnp.where(mask_b, scores, _NEG)
-        m = jnp.maximum(jnp.max(scores, axis=-1), _NEG)     # [B,Hkv,G,T]
-        e = jnp.where(mask_b, jnp.exp(scores - m[..., None]), 0.0)
-        l = jnp.sum(e, axis=-1)                             # [B,Hkv,G,T]
-        if cache.quantized:
-            vs = jnp.take(cache.v_scale, slot_idx, axis=0, mode="clip")
-            e = e * vs.transpose(0, 2, 1)[:, :, None, None, :]
-        acc = jnp.einsum("bkgts,bskd->bkgtd", e, v.astype(jnp.float32))
-
-        # ---- flash merge across cp ranks (pmax + 2 psums over ICI) ----
-        m_g = jax.lax.pmax(m, axis)
-        scale = jnp.exp(m - m_g)
-        l_g = jax.lax.psum(l * scale, axis)
-        acc_g = jax.lax.psum(acc * scale[..., None], axis)
-        out = acc_g / jnp.maximum(l_g, _EPS)[..., None]     # [Bl,Hkv,G,T,D]
-        out = out.transpose(0, 3, 1, 2, 4).reshape(Bl, T, -1, D)
-        return out, cache
+        return _gqa_cp_body(q, kn, vn, cache, slots, bt, ctx, ql,
+                            axis=axis, n=n, bs=bs, sm_scale=sm_scale, dp=dp)
 
     tp = "tp" if mesh.shape.get("tp", 1) > 1 else None
     cache_spec = KVCache(k=P(axis, tp, None), v=P(axis, tp, None),

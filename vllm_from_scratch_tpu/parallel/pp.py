@@ -57,6 +57,11 @@ def pipeline_forward(
     EPLB composes with pp (VERDICT r2 weak #5)."""
     B, T = batch.tokens.shape
     n = mesh.shape[axis]
+    # pp x cp composition: "cp" joins "pp" as a manual axis (a shard_map
+    # cannot nest inside a manual region, so the cp attention body runs
+    # directly via make_layer_step(cp_manual=...)); the cache's slot axis
+    # shards over "cp" while its layer axis shards over "pp".
+    cp = mesh.shape.get("cp", 1)
     L = cfg.num_layers
     assert L % n == 0, "num_layers must divide pp size"
     if num_microbatches is None:
@@ -105,6 +110,7 @@ def pipeline_forward(
             step = transformer.make_layer_step(
                 bmb, cfg, rope, block_size=block_size, moe_stacks=stage_big,
                 collect_counts=collect_expert_counts,
+                cp_manual=cp if cp > 1 else 0,
             )
             L_stage = jnp.arange(stage_small["ffn_norm"].shape[0],
                                  dtype=jnp.int32)
@@ -141,18 +147,36 @@ def pipeline_forward(
         )
         return outputs, stage_cache, counts_stage
 
-    # Manual over "pp" only: on a 2-D (pp, tp) mesh "tp" stays a GSPMD auto
-    # axis, so each stage's attention heads / FFN columns shard exactly as
-    # in the plain-TP engine (compiler-inserted psums over ICI) while the
-    # schedule ppermutes activations stage to stage.
+    # Manual over "pp" (and "cp" when composed): "dp"/"tp" stay GSPMD auto
+    # axes, so each stage's batch rows / attention heads / FFN columns shard
+    # exactly as in the plain DPxTP engine (compiler-inserted psums over
+    # ICI) while the schedule ppermutes activations stage to stage.
+    if cp > 1:
+        from ..ops.mla_attention import MLACache
+
+        # [L, slots, ...]: layer axis over "pp", slot axis over "cp".
+        if isinstance(cache, MLACache):
+            cache_spec = MLACache(
+                c=P(axis, "cp", None), kr=P(axis, "cp", None),
+                c_scale=P(axis, "cp"), kr_scale=P(axis, "cp"))
+        else:
+            from ..ops.attention import KVCache
+
+            cache_spec = KVCache(
+                k=P(axis, "cp", None, None), v=P(axis, "cp", None, None),
+                k_scale=P(axis, "cp", None), v_scale=P(axis, "cp", None))
+        manual = {axis, "cp"}
+    else:
+        cache_spec = P(axis)
+        manual = {axis}
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P()),
+        in_specs=(P(axis), cache_spec, P(), P()),
         # Stage counts concatenate on the leading layer axis -> [L, E].
-        out_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), cache_spec, P(axis)),
         check_vma=False,
-        axis_names={axis},
+        axis_names=manual,
     )
     outputs, new_cache, counts = fn(params["layers"], cache, h0, mb)
 

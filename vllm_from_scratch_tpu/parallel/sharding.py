@@ -37,13 +37,23 @@ from ..core.config import ModelConfig, ParallelConfig
 
 def make_mesh(parallel: ParallelConfig, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
+    if parallel.cp_size > 1 and parallel.pp_size > 1:
+        # Pipeline stages x context x tensor parallelism: both "pp" and
+        # "cp" are manual axes of the pipeline shard_map (parallel/pp.py
+        # runs the cp attention body directly — a shard_map cannot nest),
+        # "tp" stays auto.  Layer axis over pp, cache slot axis over cp.
+        assert parallel.dp_size == 1, "cp x pp requires dp_size == 1"
+        n = parallel.pp_size * parallel.cp_size * parallel.tp_size
+        assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+        dev = np.asarray(devices[:n]).reshape(
+            parallel.pp_size, parallel.cp_size, parallel.tp_size)
+        return Mesh(dev, ("pp", "cp", "tp"))
     if parallel.cp_size > 1:
         # Context parallelism (parallel/cp_serving.py): ("dp", "cp", "tp")
         # mesh — batch rows shard over "dp", the cache's slot axis over
         # "cp", q_b/wo heads over "tp" within each (dp, cp) rank (ref sizes
         # PCP/DCP alongside TP, BLOG_PART3_V2.md:709-768).  Size-1 axes
         # degenerate cleanly.
-        assert parallel.pp_size == 1, "cp_size > 1 requires pp_size == 1"
         n = parallel.dp_size * parallel.cp_size * parallel.tp_size
         assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
         dev = np.asarray(devices[:n]).reshape(
@@ -254,6 +264,26 @@ def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh,
 def shard_cache(cache, cfg: ModelConfig, mesh: Mesh,
                 mla_kv: str = "replicated"):
     if "pp" in mesh.shape:
+        if "cp" in mesh.shape:
+            from ..ops.attention import KVCache
+            from ..ops.mla_attention import MLACache
+
+            # pp x cp: layer axis over "pp", slot axis over "cp"
+            # (parallel/pp.py's composed manual region).
+            if cfg.is_mla:
+                return jax.device_put(cache, MLACache(
+                    c=_ns(mesh, "pp", "cp", None),
+                    kr=_ns(mesh, "pp", "cp", None),
+                    c_scale=_ns(mesh, "pp", "cp"),
+                    kr_scale=_ns(mesh, "pp", "cp"),
+                ))
+            tp = "tp" if mesh.shape.get("tp", 1) > 1 else None
+            return jax.device_put(cache, KVCache(
+                k=_ns(mesh, "pp", "cp", tp, None),
+                v=_ns(mesh, "pp", "cp", tp, None),
+                k_scale=_ns(mesh, "pp", "cp", tp),
+                v_scale=_ns(mesh, "pp", "cp", tp),
+            ))
         if mesh.shape.get("tp", 1) > 1:
             # Stage-shard the [L] axis AND keep the tp head/latent layout.
             base = cache_shardings(cfg, mesh, mla_kv)
