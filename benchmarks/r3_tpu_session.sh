@@ -7,7 +7,7 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=benchmarks/r3_tpu_session.log
 stages=("$@")
-[ ${#stages[@]} -eq 0 ] && stages=(gate int4probe bench int4bench chunk itl serving trace)
+[ ${#stages[@]} -eq 0 ] && stages=(gate int4probe bench bench64 unroll int4bench chunk itl serving sweepb trace)
 
 run() { echo "=== $1 ($(date +%H:%M:%S)) ===" | tee -a "$LOG"; shift; "$@" 2>&1 | tee -a "$LOG"; }
 
@@ -27,6 +27,11 @@ for s in "${stages[@]}"; do
     itl)       run itl timeout 3600 python -u -c \
                  "import sys; sys.path.insert(0,'.'); from benchmarks.bench_midsize import run_mixed_itl; run_mixed_itl()" ;;
     serving)   run serving timeout 3600 python -u benchmarks/bench_serving.py ;;
+    bench64)   run bench64 env VFS_BENCH_DECODE_STEPS=64 VFS_BENCH_ITL=0 \
+                 timeout 3600 python -u benchmarks/bench_midsize.py ;;
+    unroll)    run unroll env VFS_UNROLL_LAYERS=1 VFS_BENCH_ITL=0 \
+                 timeout 3600 python -u benchmarks/bench_midsize.py ;;
+    sweepb)    run sweepb timeout 5400 python -u benchmarks/sweep_batch.py ;;
     trace)     run trace timeout 3600 python -u benchmarks/capture_trace.py ;;
     *) echo "unknown stage $s" ;;
   esac

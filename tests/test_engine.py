@@ -90,6 +90,16 @@ class TestEngineCorrectness:
         ref = oracle_generate(eng.params, eng.config.model, prompt, 6)
         assert out[0] == ref
 
+    def test_layer_scan_unroll_exact(self, engine_factory, monkeypatch):
+        """VFS_UNROLL_LAYERS=1 (transformer._layer_unroll, the r3 static-
+        slice perf experiment) is semantics-identical: greedy outputs and
+        chunked-prefill behavior match the rolled scan exactly."""
+        prompts = [list(range(1, 30)), [5, 6, 7]]
+        base = engine_factory().generate(prompts, GREEDY)
+        monkeypatch.setenv("VFS_UNROLL_LAYERS", "1")
+        unrolled = LLMEngine(small_config()).generate(prompts, GREEDY)
+        assert list(base.values()) == list(unrolled.values())
+
     def test_batching_invariance(self, engine_factory):
         """A request's greedy output must not depend on its batch-mates."""
         e1 = engine_factory()

@@ -195,7 +195,8 @@ def forward(
 
     L = cfg.num_layers
     x, ys = jax.lax.scan(
-        layer_step, x, (layers_xs, cache, jnp.arange(L, dtype=jnp.int32)))
+        layer_step, x, (layers_xs, cache, jnp.arange(L, dtype=jnp.int32)),
+        unroll=_layer_unroll(L))
     new_cache, counts = ys if collect_expert_counts else (ys, None)
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
@@ -210,6 +211,19 @@ def forward(
     if collect_expert_counts:
         return logits, new_cache, counts
     return logits, new_cache
+
+
+def _layer_unroll(L: int) -> int:
+    """``VFS_UNROLL_LAYERS=1`` unrolls the layer scan (semantics-identical;
+    lax.scan's own unroll).  Hypothesis (r3 perf experiment): unrolled, the
+    per-layer cache/weight xs slices get STATIC indices, so XLA can alias
+    the cache's dynamic-update-slice in place instead of materializing a
+    whole-cache copy per step (the ~0.3 ms/step "cache slice/update" trace
+    residue; the cache-as-carry redesign that also targeted it regressed
+    2.9k -> 1.4k, RESULTS.md r2).  Costs ~L x bigger HLO / compile time."""
+    import os
+
+    return L if os.environ.get("VFS_UNROLL_LAYERS") == "1" else 1
 
 
 def fuse_projections(layers: dict, cfg: ModelConfig) -> dict:
@@ -401,7 +415,8 @@ def forward_mixed(
 
     L = cfg.num_layers
     (hp, hd), ys = jax.lax.scan(
-        layer_step, (hp, hd), (layers_xs, cache, jnp.arange(L, dtype=jnp.int32)))
+        layer_step, (hp, hd), (layers_xs, cache, jnp.arange(L, dtype=jnp.int32)),
+        unroll=_layer_unroll(L))
     new_cache, counts = ys if collect_expert_counts else (ys, None)
 
     # Last valid position per row; ONE lm_head matmul over both groups.
