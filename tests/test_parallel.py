@@ -421,6 +421,19 @@ class TestContextParallelServing:
         ).generate(prompts, GREEDY)
         assert list(base.values()) == list(full.values())
 
+    def test_cp2_pp2_dp2_matches_single_device(self):
+        """The last mesh exclusion lifted (was: "cp x pp requires dp==1"):
+        "dp" joins the 4-D (pp, cp, dp, tp) mesh as a GSPMD auto axis —
+        batch rows shard over "dp" outside the manual {pp, cp} region, the
+        cache stays dp-replicated, semantics unchanged."""
+        prompts = [list(range(1, 101)), [5, 6, 7], list(range(40, 90)),
+                   [9, 9, 9, 9]]
+        base = LLMEngine(self._mla_cfg()).generate(prompts, GREEDY)
+        full = LLMEngine(
+            self._mla_cfg(ParallelConfig(cp_size=2, pp_size=2, dp_size=2))
+        ).generate(prompts, GREEDY)
+        assert list(base.values()) == list(full.values())
+
     def test_flagship_all_on(self):
         """VERDICT r2 weak #5's exact ask: MLA + MoE + long context (cp) +
         EPLB + pp x tp, ALL enabled at once, reproduces single-device

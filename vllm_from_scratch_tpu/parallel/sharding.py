@@ -38,16 +38,19 @@ from ..core.config import ModelConfig, ParallelConfig
 def make_mesh(parallel: ParallelConfig, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if parallel.cp_size > 1 and parallel.pp_size > 1:
-        # Pipeline stages x context x tensor parallelism: both "pp" and
+        # Pipeline stages x context x data x tensor parallelism: "pp" and
         # "cp" are manual axes of the pipeline shard_map (parallel/pp.py
         # runs the cp attention body directly — a shard_map cannot nest),
-        # "tp" stays auto.  Layer axis over pp, cache slot axis over cp.
-        assert parallel.dp_size == 1, "cp x pp requires dp_size == 1"
-        n = parallel.pp_size * parallel.cp_size * parallel.tp_size
+        # "dp"/"tp" stay GSPMD auto axes (batch rows / attention heads
+        # shard exactly as in the plain paths).  Layer axis over pp, cache
+        # slot axis over cp.  Size-1 axes degenerate cleanly.
+        n = (parallel.pp_size * parallel.cp_size * parallel.dp_size
+             * parallel.tp_size)
         assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
         dev = np.asarray(devices[:n]).reshape(
-            parallel.pp_size, parallel.cp_size, parallel.tp_size)
-        return Mesh(dev, ("pp", "cp", "tp"))
+            parallel.pp_size, parallel.cp_size, parallel.dp_size,
+            parallel.tp_size)
+        return Mesh(dev, ("pp", "cp", "dp", "tp"))
     if parallel.cp_size > 1:
         # Context parallelism (parallel/cp_serving.py): ("dp", "cp", "tp")
         # mesh — batch rows shard over "dp", the cache's slot axis over
