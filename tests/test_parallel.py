@@ -151,7 +151,9 @@ class TestContextParallel:
         from vllm_from_scratch_tpu.parallel.cp import cp_prefill_attention
 
         q, k, v = self._data()
-        out = cp_prefill_attention(q, k, v, self._mesh(), axis="sp")
+        mesh = self._mesh()
+        out = jax.jit(lambda q, k, v: cp_prefill_attention(
+            q, k, v, mesh, axis="sp"))(q, k, v)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(self._oracle(q, k, v)), atol=1e-5
         )
@@ -160,7 +162,9 @@ class TestContextParallel:
         from vllm_from_scratch_tpu.parallel.cp import ring_attention
 
         q, k, v = self._data()
-        out = ring_attention(q, k, v, self._mesh(), axis="sp")
+        mesh = self._mesh()
+        out = jax.jit(lambda q, k, v: ring_attention(
+            q, k, v, mesh, axis="sp"))(q, k, v)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(self._oracle(q, k, v)), atol=1e-5
         )
@@ -169,7 +173,9 @@ class TestContextParallel:
         from vllm_from_scratch_tpu.parallel.cp import ulysses_attention
 
         q, k, v = self._data(Hq=8, Hkv=8)  # heads must divide axis size
-        out = ulysses_attention(q, k, v, self._mesh(), axis="sp")
+        mesh = self._mesh()
+        out = jax.jit(lambda q, k, v: ulysses_attention(
+            q, k, v, mesh, axis="sp"))(q, k, v)
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(self._oracle(q, k, v)), atol=1e-5
         )
@@ -216,7 +222,8 @@ class TestEPAllToAll:
         cfg, p, x = self._setup()
         ref, _ = moe_ffn(x, p["gate"], p["w_gate"], p["w_up"], p["w_down"],
                          top_k=cfg.top_k)
-        out = ep_moe_ffn_a2a(x, p, cfg, self._mesh())  # exact capacity
+        mesh = self._mesh()  # jit: eager shard_map re-traces per call (slow)
+        out = jax.jit(lambda x, p: ep_moe_ffn_a2a(x, p, cfg, mesh))(x, p)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
 
@@ -224,7 +231,9 @@ class TestEPAllToAll:
         from vllm_from_scratch_tpu.parallel.ep import ep_moe_ffn_a2a
 
         cfg, p, x = self._setup()
-        out = ep_moe_ffn_a2a(x, p, cfg, self._mesh(), capacity_factor=1.0)
+        mesh = self._mesh()
+        out = jax.jit(lambda x, p: ep_moe_ffn_a2a(
+            x, p, cfg, mesh, capacity_factor=1.0))(x, p)
         assert np.all(np.isfinite(np.asarray(out)))
 
     def test_int8_expert_weights(self):
@@ -238,7 +247,8 @@ class TestEPAllToAll:
         pq = dict(p)
         for k in ("w_gate", "w_up", "w_down"):
             pq[k] = quantize_linear(p[k])
-        out = ep_moe_ffn_a2a(x, pq, cfg, self._mesh())
+        mesh = self._mesh()
+        out = jax.jit(lambda x, p: ep_moe_ffn_a2a(x, p, cfg, mesh))(x, pq)
         err = float(np.max(np.abs(np.asarray(out) - np.asarray(ref))))
         scale = float(np.max(np.abs(np.asarray(ref)))) + 1e-9
         assert err / scale < 0.1
@@ -542,10 +552,11 @@ class TestEPLB:
         helper = TestEPAllToAll()
         cfg, p, x = helper._setup()
         mesh = helper._mesh()
-        ref = ep_moe_ffn(x, p, cfg, mesh)
+        ref = jax.jit(lambda x, p: ep_moe_ffn(x, p, cfg, mesh))(x, p)
         perm = np.random.RandomState(0).permutation(cfg.num_experts)
         pp, emap = self._permuted(p, perm)
-        out = ep_moe_ffn(x, pp, cfg, mesh, expert_map=emap)
+        out = jax.jit(lambda x, p, em: ep_moe_ffn(
+            x, p, cfg, mesh, expert_map=em))(x, pp, emap)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
 
@@ -555,10 +566,11 @@ class TestEPLB:
         helper = TestEPAllToAll()
         cfg, p, x = helper._setup()
         mesh = helper._mesh()
-        ref = ep_moe_ffn_a2a(x, p, cfg, mesh)
+        ref = jax.jit(lambda x, p: ep_moe_ffn_a2a(x, p, cfg, mesh))(x, p)
         perm = np.random.RandomState(1).permutation(cfg.num_experts)
         pp, emap = self._permuted(p, perm)
-        out = ep_moe_ffn_a2a(x, pp, cfg, mesh, expert_map=emap)
+        out = jax.jit(lambda x, p, em: ep_moe_ffn_a2a(
+            x, p, cfg, mesh, expert_map=em))(x, pp, emap)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-4)
 
@@ -653,10 +665,15 @@ class TestPipelineParallel:
         from vllm_from_scratch_tpu.parallel.pp import pipeline_forward
 
         cfg, params, cache, batch = self._setup(family)
-        ref_logits, ref_cache = transformer.forward(
-            params, cache, batch, cfg, block_size=16)
-        pp_logits, pp_cache = pipeline_forward(
-            params, cache, batch, cfg, self._mesh(), block_size=16)
+        # jit both sides: an eager shard_map re-traces per call (~30 s here);
+        # under jit the warm persistent cache makes this a ~1 s load.
+        ref_logits, ref_cache = jax.jit(
+            lambda p, c, b: transformer.forward(p, c, b, cfg, block_size=16)
+        )(params, cache, batch)
+        mesh = self._mesh()
+        pp_logits, pp_cache = jax.jit(
+            lambda p, c, b: pipeline_forward(p, c, b, cfg, mesh, block_size=16)
+        )(params, cache, batch)
         np.testing.assert_allclose(
             np.asarray(pp_logits), np.asarray(ref_logits), atol=1e-5, rtol=1e-5)
         # Null block (slots 0..15) is a garbage sink by design — bubble-tick
@@ -670,10 +687,14 @@ class TestPipelineParallel:
         from vllm_from_scratch_tpu.parallel.pp import pipeline_forward
 
         cfg, params, cache, batch = self._setup()
-        ref_logits, _ = transformer.forward(params, cache, batch, cfg, block_size=16)
-        pp_logits, _ = pipeline_forward(
-            params, cache, batch, cfg, self._mesh(), block_size=16,
-            num_microbatches=1)
+        ref_logits, _ = jax.jit(
+            lambda p, c, b: transformer.forward(p, c, b, cfg, block_size=16)
+        )(params, cache, batch)
+        mesh = self._mesh()
+        pp_logits, _ = jax.jit(
+            lambda p, c, b: pipeline_forward(
+                p, c, b, cfg, mesh, block_size=16, num_microbatches=1)
+        )(params, cache, batch)
         np.testing.assert_allclose(
             np.asarray(pp_logits), np.asarray(ref_logits), atol=1e-5, rtol=1e-5)
 
