@@ -126,8 +126,42 @@ def run(num_requests=16, prompt_len=64, new_tokens=128, shared_prefix=32):
 PEAK_BATCH = 64
 
 
+def _acquire_device(timeout_s=900):
+    """Block until a device grant arrives, or fail with an honest JSON line.
+
+    jax.devices() hangs indefinitely while the axon tunnel is down (the
+    grant loop never errors), which would leave the driver's round-end
+    bench run with NO artifact at all.  A bounded wait that prints an
+    error JSON is strictly better than a silent hang.
+    """
+    import signal
+
+    import jax
+
+    def _bail(signum, frame):
+        raise TimeoutError
+
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(timeout_s)
+    try:
+        backend = jax.devices()[0].platform
+    except TimeoutError:
+        print(json.dumps({
+            "metric": "midsize_peak_decode_tokens_per_s_per_chip_int8",
+            "value": None, "unit": "tokens/s", "vs_baseline": None,
+            "error": f"device grant timed out after {timeout_s}s "
+                     "(axon tunnel down?)",
+        }))
+        sys.exit(1)
+    finally:
+        signal.alarm(0)
+    return backend
+
+
 def main():
     import signal
+
+    _acquire_device()
 
     from bench_midsize import run_engine
 

@@ -7,7 +7,10 @@ set -u
 cd "$(dirname "$0")/.."
 LOG=benchmarks/r3_tpu_session.log
 stages=("$@")
-[ ${#stages[@]} -eq 0 ] && stages=(gate int4probe bench bench64 unroll int4bench chunk itl serving sweepb trace)
+# Headline first: if the tunnel flakes again mid-session, the decision-
+# critical measurements (bench / bench64 / unroll / int4) land before the
+# long gate + sweep stages.
+[ ${#stages[@]} -eq 0 ] && stages=(bench bench64 unroll int4probe int4bench gate sweepb chunk itl serving trace)
 
 run() { echo "=== $1 ($(date +%H:%M:%S)) ===" | tee -a "$LOG"; shift; "$@" 2>&1 | tee -a "$LOG"; }
 
