@@ -261,3 +261,24 @@ def test_ngram_spec_composes_with_pp():
     out = ng_pp.generate(prompts, sp)
     assert list(out.values()) == list(plain.values())
     assert ng_pp.stats().get("spec_drafted", 0) > 0
+
+
+def test_draft_model_spec_composes_with_pp():
+    """Draft-MODEL spec under a pp2 mesh: the small draft scans replicated
+    outside the pipeline, only the (K+1)-token verify pipelines — greedy
+    output must EXACTLY match the plain single-device engine (the last
+    serving-composition exclusion, lifted)."""
+    if jax.device_count() < 2:
+        pytest.skip("needs 2 devices")
+    from vllm_from_scratch_tpu.core.config import ParallelConfig
+
+    sp = SamplingParams(max_new_tokens=12, temperature=0.0, ignore_eos=True)
+    prompts = [list(range(1, 21)), [7, 8, 9]]
+    plain = LLMEngine(spec_engine_cfg(spec=False)).generate(prompts, sp)
+
+    cfg = spec_engine_cfg(spec=True).replace(parallel=ParallelConfig(pp_size=2))
+    eng = LLMEngine(cfg)
+    assert eng._spec_step_fn is None  # split path engaged
+    out = eng.generate(prompts, sp)
+    assert list(out.values()) == list(plain.values())
+    assert eng.metrics.get("spec_drafted", 0) > 0

@@ -342,15 +342,14 @@ class LLMEngine:
 
             self._ngram_verify_fn = jax.jit(_ngram_verify, donate_argnums=(1,))
         elif config.spec is not None:
-            # Draft-MODEL spec decode keeps its no-pp assert: the draft's
-            # K-iteration lax.scan would have to run inside every pipeline
-            # stage's shard_map tick (stage-bubbled K times per token) or on
-            # a separate replica — neither is worth it when the draft-free
-            # ngram method above composes with pp for free.
-            assert not use_pp, (
-                "draft-model speculative decoding + pipeline parallelism is "
-                "not supported (use method='ngram' with pp)"
-            )
+            # Draft-MODEL spec decode composes with pipeline parallelism by
+            # SPLITTING the fused step: the draft model is small, so its
+            # K-iteration lax.scan runs replicated outside the pipeline
+            # (sharding it over stages would bubble K times per token);
+            # only the single (K+1)-token verify forward pipelines — via
+            # pipeline_forward(return_all_logits=True), exactly like the
+            # ngram path above.  Without pp the two halves stay composed in
+            # ONE jit (one dispatch, unchanged numerics).
             dcfg = config.spec.draft
             assert dcfg is not None and dcfg.vocab_size == mcfg.vocab_size
             dkey = jax.random.PRNGKey(config.seed + 17)
@@ -367,11 +366,11 @@ class LLMEngine:
 
             self._draft_prefill_fn = jax.jit(_draft_prefill, donate_argnums=(1,))
 
-            def _spec_step(pt, pd, ct, cd, tok0, pos0, tables, slots_k, sstate, skey):
-                """Draft K tokens, verify with one target forward, reject-sample.
+            def _draft_scan(pd, cd, tok0, pos0, tables, slots_k, sstate, skey):
+                """Draft K tokens with the small model (+1 KV-only step).
 
                 slots_k: [B, K+1] slots for positions pos0..pos0+K.  Returns
-                (tokens [B, K+1], num_accepted [B], new target/draft caches).
+                (drafts [B, K], draft_probs [B, K, V], new draft cache).
                 """
                 K = slots_k.shape[1] - 1
 
@@ -397,7 +396,15 @@ class LLMEngine:
                 )
                 drafts = dtoks[:K].T                      # [B, K]
                 draft_probs = dprobs[:K].transpose(1, 0, 2)  # [B, K, V]
+                return drafts, draft_probs, cd
 
+            def _spec_verify(pt, ct, tok0, pos0, tables, slots_k, drafts,
+                             draft_probs, sstate, skey):
+                """ONE target forward over [token0 | drafts], reject-sample.
+
+                Returns (tokens [B, K+1], num_accepted [B], new target cache).
+                """
+                K = slots_k.shape[1] - 1
                 ver_tokens = jnp.concatenate([tok0[:, None], drafts], axis=1)
                 ver_pos = pos0[:, None] + jnp.arange(K + 1)[None, :]
                 b = ModelBatch(
@@ -405,18 +412,42 @@ class LLMEngine:
                     block_tables=tables, ctx_lens=pos0 + K + 1,
                     q_lens=jnp.full_like(pos0, K + 1),
                 )
-                all_logits, ct = transformer.forward(
-                    pt, ct, b, mcfg, block_size=ccfg.block_size, mesh=mesh,
-                    ep_dispatch=ep_dispatch, mla_kv=mla_kv,
-                    return_all_logits=True,
-                )                                          # [B, K+1, V]
+                if use_pp:
+                    from ..parallel.pp import pipeline_forward
+
+                    all_logits, ct = pipeline_forward(
+                        pt, ct, b, mcfg, mesh, block_size=ccfg.block_size,
+                        return_all_logits=True,
+                    )                                      # [B, K+1, V]
+                else:
+                    all_logits, ct = transformer.forward(
+                        pt, ct, b, mcfg, block_size=ccfg.block_size, mesh=mesh,
+                        ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                        return_all_logits=True,
+                    )                                      # [B, K+1, V]
                 target_probs = filtered_probs(all_logits, sstate)
                 out, n_acc = rejection_sample(
                     drafts, draft_probs, target_probs, jax.random.fold_in(skey, 777)
                 )
-                return out, n_acc, ct, cd
+                return out, n_acc, ct
 
-            self._spec_step_fn = jax.jit(_spec_step, donate_argnums=(2, 3))
+            if use_pp:
+                # Two dispatches per spec step: replicated draft scan, then
+                # the pipelined verify (draft_probs flows device-to-device).
+                self._spec_step_fn = None
+                self._draft_scan_fn = jax.jit(_draft_scan, donate_argnums=(1,))
+                self._spec_verify_fn = jax.jit(_spec_verify, donate_argnums=(1,))
+            else:
+                def _spec_step(pt, pd, ct, cd, tok0, pos0, tables, slots_k,
+                               sstate, skey):
+                    drafts, draft_probs, cd = _draft_scan(
+                        pd, cd, tok0, pos0, tables, slots_k, sstate, skey)
+                    out, n_acc, ct = _spec_verify(
+                        pt, ct, tok0, pos0, tables, slots_k, drafts,
+                        draft_probs, sstate, skey)
+                    return out, n_acc, ct, cd
+
+                self._spec_step_fn = jax.jit(_spec_step, donate_argnums=(2, 3))
 
         self._next_req_id = 0
         # metrics
@@ -878,10 +909,20 @@ class LLMEngine:
                 self.params, self.cache, tok0, pos0, tables, slots_k, d,
                 sstate, skey,
             )
-        else:
+        elif self._spec_step_fn is not None:
             out, n_acc, self.cache, self.draft_cache = self._spec_step_fn(
                 self.params, self.draft_params, self.cache, self.draft_cache,
                 tok0, pos0, tables, slots_k, sstate, skey,
+            )
+        else:
+            # pp: replicated draft scan, then the pipelined verify.
+            drafts_d, dprobs_d, self.draft_cache = self._draft_scan_fn(
+                self.draft_params, self.draft_cache, tok0, pos0, tables,
+                slots_k, sstate, skey,
+            )
+            out, n_acc, self.cache = self._spec_verify_fn(
+                self.params, self.cache, tok0, pos0, tables, slots_k,
+                drafts_d, dprobs_d, sstate, skey,
             )
         out = np.asarray(out)      # [B_pad, K+1]
         n_acc = np.asarray(n_acc)  # [B_pad]
