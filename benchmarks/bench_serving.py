@@ -102,7 +102,7 @@ def run_rate(rate: float, verbose: bool = True) -> dict:
         "p99_ttft_ms": round(1e3 * pct(ttft, 99), 1),
         "p50_itl_ms": round(1e3 * pct(itls, 50), 2),
         "p99_itl_ms": round(1e3 * pct(itls, 99), 2),
-        "preemptions": eng.metrics.get("num_preemptions", 0),
+        "preemptions": eng.scheduler.stats.num_preempted,
         "prefix_hit_rate": round(eng.kv_mgr.hit_rate, 3),
         "wall_s": round(wall, 1),
     }

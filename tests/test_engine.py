@@ -178,6 +178,19 @@ class TestEngineLifecycle:
         assert not eng.has_unfinished
         assert eng.kv_mgr.usage == 0.0
 
+    def test_per_request_state_bounded(self, engine_factory):
+        """A long-running server must not accumulate per-request history:
+        arrival entries pop at first token (or abort), TTFTs live in a
+        bounded window, finished requests leave the scheduler map."""
+        eng = engine_factory()
+        eng.generate([[1, 2, 3], [4, 5, 6]], GREEDY)
+        rid = eng.add_request([7, 8, 9], GREEDY)  # abort before any step
+        eng.abort_request(rid)
+        assert eng._arrival == {}
+        assert len(eng.ttft_seconds()) == 2
+        assert all(t >= 0 for t in eng.ttft_seconds())
+        assert eng.scheduler.requests == {}
+
     def test_prefix_cache_reuse(self, engine_factory):
         """Identical second prompt: same output, prefix hits recorded."""
         eng = engine_factory()

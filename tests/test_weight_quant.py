@@ -209,3 +209,16 @@ class TestInt4:
         b8 = q8.q.size * 1 + q8.scale.size * 4
         b4 = q4.q4.size * 1 + q4.scale.size * 4
         assert b4 < 0.6 * b8, (b4, b8)
+
+    @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+    def test_ep_tp4_int4_matches_single(self):
+        """INT4-quantized MoE experts under EP (tp4): _expert_spec must
+        mirror the QuantizedLinear4 pytree (same aux) or shard_map rejects
+        the rank-3 spec against the rank-2 scale leaf — regression test."""
+        single = LLMEngine(cfg_for("flagship", weight_quant="int4"))
+        out1 = single.generate([[5, 6, 7, 8], [9, 10]], GREEDY)
+        sharded = LLMEngine(cfg_for(
+            "flagship", weight_quant="int4",
+            parallel=ParallelConfig(dp_size=2, tp_size=4)))
+        out2 = sharded.generate([[5, 6, 7, 8], [9, 10]], GREEDY)
+        assert list(out1.values()) == list(out2.values())

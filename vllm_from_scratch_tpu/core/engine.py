@@ -19,6 +19,7 @@ Equivalent of the reference's ``MiniVLLM`` (ref: 05_mini_vllm/mini_vllm.py:
 from __future__ import annotations
 
 import time
+from collections import deque
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -456,8 +457,12 @@ class LLMEngine:
             "num_generated_tokens": 0,
             "num_prefill_tokens": 0,
         }
-        self._first_token_time: Dict[int, float] = {}
+        # TTFT tracking with BOUNDED state: arrival entries pop at first
+        # token, and finished TTFTs live in a fixed-size window — a
+        # long-running server must not accumulate per-request history
+        # (same leak class the scheduler's requests-map fix closed).
         self._arrival: Dict[int, float] = {}
+        self._ttfts: deque = deque(maxlen=100_000)
 
     # ---- EPLB -----------------------------------------------------------------
 
@@ -598,7 +603,15 @@ class LLMEngine:
         return req_id
 
     def abort_request(self, req_id: int) -> bool:
+        self._arrival.pop(req_id, None)  # aborted pre-first-token: no TTFT
         return self.scheduler.abort_request(req_id)
+
+    def _note_first_token(self, req_id: int, now: float) -> None:
+        """Record TTFT exactly once per request; popping the arrival entry
+        doubles as the already-recorded marker, keeping state bounded."""
+        arr = self._arrival.pop(req_id, None)
+        if arr is not None:
+            self._ttfts.append(now - arr)
 
     @property
     def has_unfinished(self) -> bool:
@@ -847,7 +860,7 @@ class LLMEngine:
         self.metrics["num_steps"] += p["K"]
         self.metrics["num_generated_tokens"] += len(emitted)
         for rid, _ in emitted:
-            self._first_token_time.setdefault(rid, now)
+            self._note_first_token(rid, now)
         return emitted
 
     def _try_spec_step(self, scheduled: List[ScheduledRequest]) -> Optional[List[Tuple[int, int]]]:
@@ -969,7 +982,7 @@ class LLMEngine:
             self.metrics["num_generated_tokens"] += len(emitted)
             now = time.monotonic()
             for rid, _ in emitted:
-                self._first_token_time.setdefault(rid, now)
+                self._note_first_token(rid, now)
             return emitted
 
         if self._try_multi_step(scheduled):
@@ -1000,7 +1013,7 @@ class LLMEngine:
             it.num_new_tokens for it in scheduled if it.num_new_tokens > 1
         )
         for rid, _ in emitted:
-            self._first_token_time.setdefault(rid, now)
+            self._note_first_token(rid, now)
         return emitted
 
     # ---- convenience front end -------------------------------------------------------
@@ -1025,11 +1038,8 @@ class LLMEngine:
     # ---- observability ------------------------------------------------------------------
 
     def ttft_seconds(self) -> List[float]:
-        return [
-            self._first_token_time[rid] - self._arrival[rid]
-            for rid in self._first_token_time
-            if rid in self._arrival
-        ]
+        """TTFTs of the most recent requests (bounded window)."""
+        return list(self._ttfts)
 
     def stats(self) -> Dict[str, float]:
         return {

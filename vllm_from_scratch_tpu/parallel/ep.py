@@ -17,15 +17,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core.config import ModelConfig
-from ..models.layers import QuantizedLinear
+from ..models.layers import QuantizedLinear, QuantizedLinear4
 from ..models.moe import moe_ffn
 
 
 def _expert_spec(w):
     """Partition spec for an expert weight stack [E, in, out] — handles the
-    weight-only-INT8 form (QuantizedLinear: q [E,in,out], scale [E,out])."""
+    weight-only-INT8 form (QuantizedLinear: q [E,in,out], scale [E,out]) and
+    the INT4 form (QuantizedLinear4: packed q4 [E,*,*], scale [E,out]; the
+    spec pytree must carry the SAME aux (in_dim, layout) or the shard_map
+    treedefs won't match)."""
     if isinstance(w, QuantizedLinear):
         return QuantizedLinear(P("tp", None, None), P("tp", None))
+    if isinstance(w, QuantizedLinear4):
+        return QuantizedLinear4(P("tp", None, None), P("tp", None),
+                                w.in_dim, w.layout)
     return P("tp", None, None)
 
 
