@@ -133,6 +133,49 @@ class TestAbsorptionEquivalence:
         assert np.max(np.abs(np.asarray(out) - np.asarray(ref))) / denom < 0.05
 
 
+class TestExpandedPrefill:
+    """Tq >= PREFILL_EXPAND_MIN_TQ prefill takes the MHA-mode expanded path
+    (ops/mla_attention.mla_prefill_expanded) — same math as absorption, ~4x
+    fewer score/PV FLOPs at DeepSeek shapes (the prefill/decode split the
+    reference documents at BLOG_PART3_V2.md:563-578)."""
+
+    def test_expanded_matches_naive_expansion(self, setup):
+        cfg, layer, rope = setup
+        T = 96  # >= PREFILL_EXPAND_MIN_TQ -> expanded path
+        h = jax.random.normal(jax.random.PRNGKey(3), (1, T, cfg.hidden_size))
+        ref = naive_mla_reference(cfg, layer, rope, h)
+        dn, dr, dv, r, _ = mla_dims(cfg)
+        cache = init_mla_cache(12, BS, r, dr, kv_quant="none")
+        batch = make_batch(T, T, T, [1, 2, 3, 4, 5, 6], 0)
+        out, _ = mla_attention_block(layer, cache, h, batch, cfg, rope,
+                                     block_size=BS)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_expanded_matches_absorbed_with_history(self, setup, monkeypatch):
+        """Chunked prefill with history: expanded == absorbed on the SAME
+        int8 cache state (both read the identical quantized latents)."""
+        cfg, layer, rope = setup
+        dn, dr, dv, r, _ = mla_dims(cfg)
+        hist, T = 24, 64
+        h = jax.random.normal(jax.random.PRNGKey(4),
+                              (1, hist + T, cfg.hidden_size))
+        cache = init_mla_cache(12, BS, r, dr, kv_quant="int8")
+        tables = [1, 2, 3, 4, 5, 6]
+        # history chunk (absorbed; Tq=24 < threshold)
+        b0 = make_batch(hist, hist, hist, tables, 0)
+        _, cache = mla_attention_block(layer, cache, h[:, :hist], b0, cfg,
+                                       rope, block_size=BS)
+        b1 = make_batch(T, hist + T, T, tables, hist)
+        out_exp, _ = mla_attention_block(layer, cache, h[:, hist:], b1, cfg,
+                                         rope, block_size=BS)
+        monkeypatch.setenv("VFS_MLA_EXPAND_MIN_TQ", "100000")  # force absorbed
+        out_abs, _ = mla_attention_block(layer, cache, h[:, hist:], b1, cfg,
+                                         rope, block_size=BS)
+        np.testing.assert_allclose(np.asarray(out_exp), np.asarray(out_abs),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestDecodeConsistency:
     def test_prefill_vs_stepwise_decode(self, setup):
         """Full prefill output at position t == decode-one-at-a-time output

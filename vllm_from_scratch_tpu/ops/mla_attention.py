@@ -92,6 +92,76 @@ def write_mla_cache(
     )
 
 
+#: Prefill chunks at or above this many query tokens take the EXPANDED
+#: (MHA-mode) path instead of absorption.  Absorption reads the latent once
+#: — optimal for bandwidth-bound decode — but inflates compute-bound prefill:
+#: scores/PV cost O(S*(2r+dr)) per query vs O(S*(dn+dr+dv)) expanded, a ~4x
+#: FLOP inflation at DeepSeek-like shapes (r=256, dn=dv=64).  Expansion adds
+#: a one-off O(S*r*(dn+dv)) up-projection, which amortizes once
+#: Tq > r*(dn+dv)/(2r+dr) ~ 60.  Production MLA serving does exactly this
+#: split (the reference documents the trade at BLOG_PART3_V2.md:563-578).
+PREFILL_EXPAND_MIN_TQ = 64
+
+
+def mla_prefill_expanded(
+    q_nope: jax.Array,        # [B, Tq, H, dn]
+    q_rope: jax.Array,        # [B, Tq, H, dr] (already RoPE'd)
+    cache: MLACache,
+    block_tables: jax.Array,  # [B, N]
+    ctx_lens: jax.Array,      # [B]
+    q_lens: jax.Array,        # [B]
+    w_uk: jax.Array,          # [H, dn, r]
+    w_uv: jax.Array,          # [H, r, dv]
+    *,
+    block_size: int,
+    sm_scale: float,
+) -> jax.Array:
+    """MHA-mode prefill: re-expand K/V from the cached latents and run
+    standard attention in the model dtype (bf16 matmuls on the MXU, f32
+    softmax).  Mathematically identical to absorption — ``k_nope = c @
+    W_UK^T`` and ``v = c @ W_UV`` are linear, so scores and the weighted sum
+    commute — but the per-query score/PV work drops from (2r+dr) to
+    (dn+dr+dv) contraction elements.  Returns [B, Tq, H, dv] float32."""
+    B, Tq, H, dn = q_nope.shape
+    dt = q_nope.dtype
+    N = block_tables.shape[1]
+    S = N * block_size
+    offs = jnp.arange(block_size, dtype=block_tables.dtype)
+    slot_idx = (block_tables[:, :, None] * block_size + offs).reshape(B, S)
+
+    c = jnp.take(cache.c, slot_idx, axis=0, mode="clip").astype(jnp.float32)
+    kr = jnp.take(cache.kr, slot_idx, axis=0, mode="clip").astype(jnp.float32)
+    if cache.quantized:
+        c = c * jnp.take(cache.c_scale, slot_idx, axis=0, mode="clip")[..., None]
+        kr = kr * jnp.take(cache.kr_scale, slot_idx, axis=0, mode="clip")[..., None]
+    c = c.astype(dt)
+    kr = kr.astype(dt)
+
+    # Up-project once per context token (the reference's own prefill form,
+    # mini_mla.py:245-248) — O(S) instead of absorption's O(Tq*S) extra.
+    k_nope = jnp.einsum("bsr,hnr->bshn", c, w_uk.astype(dt))    # [B,S,H,dn]
+    v = jnp.einsum("bsr,hrv->bshv", c, w_uv.astype(dt))         # [B,S,H,dv]
+
+    scores = (
+        jnp.einsum("bthn,bshn->bhts", q_nope, k_nope,
+                   preferred_element_type=jnp.float32)
+        + jnp.einsum("bthd,bsd->bhts", q_rope, kr,
+                     preferred_element_type=jnp.float32)
+    ) * sm_scale
+
+    kv_pos = jnp.arange(S, dtype=jnp.int32)[None, None, :]
+    q_pos = (ctx_lens - q_lens)[:, None, None] + jnp.arange(Tq, dtype=jnp.int32)[None, :, None]
+    mask = (kv_pos <= q_pos) & (kv_pos < ctx_lens[:, None, None])
+    mask_b = mask[:, None, :, :]                                # [B,1,Tq,S]
+
+    scores = jnp.where(mask_b, scores, -jnp.inf)
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e30)
+    e = jnp.exp(scores - m) * mask_b
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), _EPS)
+    return jnp.einsum("bhts,bshv->bthv", p.astype(dt), v,
+                      preferred_element_type=jnp.float32)
+
+
 def mla_paged_attention(
     q_nope: jax.Array,        # [B, Tq, H, dn]
     q_rope: jax.Array,        # [B, Tq, H, dr] (already RoPE'd)
@@ -108,12 +178,26 @@ def mla_paged_attention(
 ) -> jax.Array:
     """Latent-space paged attention.  Returns [B, Tq, H, dv] float32.
 
+    Large prefill chunks (Tq >= PREFILL_EXPAND_MIN_TQ) take the expanded
+    MHA-mode path; decode and short chunks stay absorbed (latent read once).
     ``allow_pallas=False`` forces the XLA einsum path — required for
     TPLA-sharded latents (GSPMD inserts the over-r psums automatically;
     the Pallas kernel only runs unsharded/replicated)."""
+    import os
+
     B, Tq, H, dn = q_nope.shape
     if q_lens is None:
         q_lens = jnp.full((B,), Tq, dtype=jnp.int32)
+
+    min_tq = int(os.environ.get("VFS_MLA_EXPAND_MIN_TQ",
+                                str(PREFILL_EXPAND_MIN_TQ)))
+    if allow_pallas and Tq >= min_tq:
+        # allow_pallas=False doubles as "keep one GSPMD-shardable einsum
+        # form" (TPLA); the expanded path is single-device like the kernel.
+        return mla_prefill_expanded(
+            q_nope, q_rope, cache, block_tables, ctx_lens, q_lens, w_uk, w_uv,
+            block_size=block_size, sm_scale=sm_scale,
+        )
 
     from . import pallas as _pk
 

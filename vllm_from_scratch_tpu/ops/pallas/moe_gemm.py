@@ -141,13 +141,19 @@ def _unpack_nibbles(packed):
 
 def _kernel4(out_dtype):
     def kern(tile_expert_ref, li_ref, x_ref, wg_ref, wu_ref, wd_ref,
-             sg_ref, su_ref, sd_ref, o_ref):
+             sg_ref, su_ref, sdlo_ref, sdhi_ref, o_ref):
         """INT4 fused SwiGLU: nibbles unpack in-register and the four
         sub-matmuls consume the contiguous half-split halves —
         g = x_lo @ Wg_lo + x_hi @ Wg_hi (half_in packing over D) and the
         down projection writes its two output halves separately (half_out
         packing over D), so no interleave ever materializes (SURVEY §2b
-        FusedMoE INT4/INT8 dequant-in-kernel; VERDICT r2 weak #6)."""
+        FusedMoE INT4/INT8 dequant-in-kernel; VERDICT r2 weak #6).
+
+        The down-projection scale arrives as TWO [1, D/2] operands: a
+        single [1, D] block would need a lane-offset slice (``sd[:, D2:]``)
+        before broadcasting against y_hi, and Mosaic rejects broadcasts of
+        lane-offset vectors ("Invalid input layout", vpad {*,512} — hit on
+        the real chip, r3 TPU session)."""
         f = pl.program_id(1)
 
         @pl.when(f == 0)
@@ -183,9 +189,9 @@ def _kernel4(out_dtype):
             h, d_hi.astype(x.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        sd = sd_ref[0, 0]                                     # [1, D]
-        o_ref[:, :D2] += (y_lo * sd[:, :D2]).astype(out_dtype)
-        o_ref[:, D2:] += (y_hi * sd[:, D2:]).astype(out_dtype)
+        y = jnp.concatenate(
+            [y_lo * sdlo_ref[0, 0], y_hi * sdhi_ref[0, 0]], axis=1)
+        o_ref[...] += y.astype(out_dtype)
 
     return kern
 
@@ -280,6 +286,21 @@ def fused_moe_pallas(
         f_blk = F                # full dim (always legal)
     num_f = F // f_blk
 
+    # INT4's down scale ships as two [.., 1, D/2] halves: the kernel would
+    # otherwise lane-slice one [1, D] block at offset D/2 before the y_hi
+    # broadcast, which Mosaic rejects (see _kernel4's docstring).
+    if int4:
+        sd_args = (sd[..., : D // 2], sd[..., D // 2:])
+        sd_specs = [
+            pl.BlockSpec((1, 1, 1, D // 2), lambda t, f, te, li: (li[0], te[t], 0, 0)),
+            pl.BlockSpec((1, 1, 1, D // 2), lambda t, f, te, li: (li[0], te[t], 0, 0)),
+        ]
+    else:
+        sd_args = (sd,)
+        sd_specs = [
+            pl.BlockSpec((1, 1, 1, D), lambda t, f, te, li: (li[0], te[t], 0, 0)),
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles, num_f),
@@ -290,8 +311,7 @@ def fused_moe_pallas(
             pl.BlockSpec((1, 1, f_blk, Dd), lambda t, f, te, li: (li[0], te[t], f, 0)),
             pl.BlockSpec((1, 1, 1, f_blk), lambda t, f, te, li: (li[0], te[t], 0, f)),
             pl.BlockSpec((1, 1, 1, f_blk), lambda t, f, te, li: (li[0], te[t], 0, f)),
-            pl.BlockSpec((1, 1, 1, D), lambda t, f, te, li: (li[0], te[t], 0, 0)),
-        ],
+        ] + sd_specs,
         out_specs=pl.BlockSpec((tile_m, D), lambda t, f, te, li: (t, 0)),
     )
 
@@ -304,6 +324,6 @@ def fused_moe_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=resolve_interpret(interpret),
-    )(tile_expert, layer_idx, x_pad, wg, wu, wd, sg, su, sd)
+    )(tile_expert, layer_idx, x_pad, wg, wu, wd, sg, su, *sd_args)
 
     return y_pad[pos]
