@@ -340,6 +340,95 @@ class TestSamplingBehavior:
         assert len(set(list(narrow.values())[0])) <= len(set(list(wide.values())[0]))
 
 
+class TestAsyncScheduling:
+    """Async scheduling (SchedulerConfig.async_scheduling, vLLM V1's
+    --async-scheduling): prefill/mixed step N+1 is scheduled and dispatched
+    against placeholder tokens BEFORE step N's host sync; decode rows read
+    their current token on-device from step N's output.  Emission shifts one
+    step later; token streams must be identical."""
+
+    def _run(self, cfg, async_on, prompts, sp, stagger=0):
+        eng = LLMEngine(cfg)
+        eng._async_ok = eng._async_ok and async_on
+        outs = {}
+        ids = []
+        for p in prompts[:len(prompts) - stagger or None]:
+            rid = eng.add_request(list(p), sp)
+            outs[rid] = []
+            ids.append(rid)
+        steps = 0
+        while eng.has_unfinished and steps < 400:
+            for rid, t in eng.step():
+                outs[rid].append(t)
+            steps += 1
+            if stagger and steps == 3:
+                for p in prompts[len(prompts) - stagger:]:
+                    rid = eng.add_request(list(p), sp)
+                    outs[rid] = []
+                    ids.append(rid)
+                stagger = 0
+        return [outs[r] for r in ids]
+
+    def test_greedy_exact_vs_sync(self):
+        cfg = small_config(
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=32))
+        sp = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True)
+        prompts = [list(range(1, 40)), [5, 6, 7], list(range(50, 75)),
+                   [9, 10, 11, 12]]
+        a = self._run(cfg, True, prompts, sp, stagger=2)
+        b = self._run(cfg, False, prompts, sp, stagger=2)
+        assert a == b
+        assert all(len(o) == 8 for o in a)
+
+    def test_eos_truncates_inflight_successor(self):
+        """A request whose EOS is discovered at commit time already has a
+        wasted successor token in flight — output must stop AT the EOS."""
+        cfg = small_config(
+            scheduler=SchedulerConfig(max_num_seqs=4,
+                                      max_num_batched_tokens=32))
+        sp0 = SamplingParams(max_new_tokens=12, temperature=0.0,
+                             ignore_eos=True)
+        probe = self._run(cfg, False, [[11, 12, 13], list(range(20, 60))],
+                          sp0, stagger=1)[0]
+        eos = probe[2]  # finish the short request on its 3rd greedy token
+        sp = SamplingParams(max_new_tokens=12, temperature=0.0,
+                            eos_token_id=eos)
+        a = self._run(cfg, True, [[11, 12, 13], list(range(20, 60))], sp,
+                      stagger=1)
+        b = self._run(cfg, False, [[11, 12, 13], list(range(20, 60))], sp,
+                      stagger=1)
+        assert a == b
+        assert a[0][-1] == eos and len(a[0]) == 3
+
+    def test_placeholder_never_enters_prefix_cache(self):
+        """Block hashes must never be computed over a placeholder: serve a
+        request whose outputs fill a block while async, then verify a second
+        request sharing the (prompt+output) prefix hits the cache and
+        reproduces the sync engine's tokens."""
+        from vllm_from_scratch_tpu.core.scheduler import PLACEHOLDER
+
+        cfg = small_config(
+            scheduler=SchedulerConfig(max_num_seqs=2,
+                                      max_num_batched_tokens=32))
+        eng = LLMEngine(cfg)
+        sp = SamplingParams(max_new_tokens=20, temperature=0.0,
+                            ignore_eos=True)
+        rid = eng.add_request(list(range(1, 17)), sp)  # 16 = one full block
+        req = eng.scheduler.requests[rid]
+        while eng.has_unfinished:
+            eng.step()
+            for h in req.block_hashes:
+                assert h is not None
+        assert PLACEHOLDER not in req.output_token_ids
+        # 16 prompt + 20 output = 36 tokens -> 2 full blocks cacheable.
+        hit_req = eng.add_request(
+            list(range(1, 17)) + req.output_token_ids, sp)
+        hr = eng.scheduler.requests[hit_req]
+        eng.scheduler.schedule()
+        assert hr.num_computed_tokens >= 16  # prefix-cache hit across outputs
+
+
 class TestMixedStep:
     """The fused prefill+decode step (transformer.forward_mixed): when a
     chunked prefill runs while other requests decode, ONE device call
@@ -348,6 +437,7 @@ class TestMixedStep:
 
     def _staggered_run(self, cfg, disable_mixed):
         eng = LLMEngine(cfg)
+        eng._async_ok = False  # pin the SYNC mixed path (async has its own tests)
         if disable_mixed:
             eng._mixed_ok = False
         mixed_calls = {"n": 0}

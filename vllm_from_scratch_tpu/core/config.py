@@ -86,6 +86,14 @@ class SchedulerConfig:
     # and device->host latency behind device compute; post-EOS tokens inside
     # a macro-step are discarded on the host.
     decode_steps: int = 1
+    # Async scheduling (vLLM V1 --async-scheduling): prefill/mixed steps are
+    # dispatched one ahead of their host sync — step N+1 is scheduled and
+    # dispatched against placeholder tokens before step N's results are
+    # fetched, hiding host scheduling + dispatch latency during the
+    # TTFT-critical prefill phase (the decode analogue is decode_steps > 1).
+    # Emission is delayed by one step; outputs are unchanged.  Auto-disabled
+    # when it cannot compose (pp / dp / cp meshes, speculative decoding).
+    async_scheduling: bool = True
     # Preemption policy when blocks run out (blog scheduler BLOG_PART2.md:992-1015).
     enable_preemption: bool = True
     policy: str = "fcfs"  # or "priority"

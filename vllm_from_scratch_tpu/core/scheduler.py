@@ -30,6 +30,10 @@ from .config import SchedulerConfig
 from .kv_cache_manager import KVCacheManager
 from .request import Request, RequestStatus
 
+#: Sentinel token value for a sampled-but-unsynced output position (async
+#: scheduling).  Never a valid token id.
+PLACEHOLDER = -1
+
 
 @dataclass
 class ScheduledRequest:
@@ -76,6 +80,11 @@ class Scheduler:
         # flight; else the pull landed — tokens now in the local cache).
         self.connector = connector
         self._pull_started: set = set()
+        # Async scheduling (vLLM V1 async_scheduling): requests whose latest
+        # output token is an unsynced PLACEHOLDER.  They must not be
+        # preempted (their in-flight step writes their blocks) and their
+        # block hashes must not extend over the placeholder.
+        self._inflight: set = set()
 
     # ---- queue ops ---------------------------------------------------------
 
@@ -93,6 +102,7 @@ class Scheduler:
         req.status = RequestStatus.FINISHED_ABORTED
         self.kv.free(req)
         self._pull_started.discard(req_id)
+        self._inflight.discard(req_id)
         self.requests.pop(req_id, None)
         if req in self.waiting:
             self.waiting.remove(req)
@@ -116,7 +126,9 @@ class Scheduler:
         Requests already scheduled this step are protected: preempting one
         would invalidate its staged slots/start_pos mid-step."""
         candidates = [
-            r for r in self.running if r is not exclude and r.req_id not in protected
+            r for r in self.running
+            if r is not exclude and r.req_id not in protected
+            and r.req_id not in self._inflight  # device still writing its blocks
         ]
         if not candidates:
             return False
@@ -192,6 +204,11 @@ class Scheduler:
         # Phase 1: running decodes — one token each.
         for req in list(self.running):
             if req.is_prefill or budget <= 0 or req.status is not RequestStatus.RUNNING:
+                continue
+            # Async scheduling: a request whose max_new_tokens-th token is a
+            # still-unsynced placeholder will finish at commit — don't grant
+            # it another decode step.
+            if len(req.output_token_ids) >= req.sampling.max_new_tokens:
                 continue
             if self._allocate_with_preemption(req, 1, protected) is None:
                 # Could not make room even with preemption: preempt req itself.
@@ -293,6 +310,76 @@ class Scheduler:
             req.block_ids = []
             req.num_computed_tokens = 0
             req.num_cached_blocks = 0
+
+    # ---- async scheduling (dispatch-before-sync) --------------------------------
+
+    def update_async_dispatch(self, scheduled: List[ScheduledRequest]):
+        """Advance request state for a step that was DISPATCHED but not yet
+        synced (vLLM V1 async scheduling; the decode-macro analogue is
+        engine._pump_async).  Produced tokens are appended as PLACEHOLDER and
+        patched by ``update_async_commit`` one step later; the next schedule()
+        therefore sees correct lengths without waiting for the device.
+
+        Returns commit records: one ``(request, output_index)`` per produced
+        token, ``None`` for mid-prefill chunks.  ``cache_blocks`` is skipped
+        for placeholder-carrying requests — the chained block hashes must
+        never be computed over a placeholder."""
+        records = []
+        for item in scheduled:
+            req = item.request
+            if req.is_finished:  # aborted between schedule and dispatch
+                records.append(None)
+                continue
+            req.num_computed_tokens += item.num_new_tokens
+            if item.produces_token:
+                req.output_token_ids.append(PLACEHOLDER)
+                records.append((req, len(req.output_token_ids) - 1))
+                self._inflight.add(req.req_id)
+            else:
+                self.kv.cache_blocks(req)  # prompt tokens only — hash-safe
+                records.append(None)
+        return records
+
+    def update_async_commit(self, records, sampled_tokens) -> List[tuple]:
+        """Patch a synced step's real tokens into the placeholders and run
+        the finish logic ``update`` would have run.  Mirrors update():
+        EOS / max_new_tokens finishing, block freeing, prefix-cache publish —
+        publish is skipped while a LATER placeholder exists (the successor's
+        commit publishes once every token in the hash range is real)."""
+        emitted = []
+        for rec, tok in zip(records, sampled_tokens):
+            if rec is None:
+                continue
+            req, idx = rec
+            if req.is_finished or idx >= len(req.output_token_ids):
+                continue  # aborted, or truncated by an earlier EOS commit
+            tok = int(tok)
+            req.output_token_ids[idx] = tok
+            emitted.append((req.req_id, tok))
+            sp = req.sampling
+            if not sp.ignore_eos and tok == sp.eos_token_id:
+                # Drop the wasted successor tokens dispatched past the EOS
+                # (same shape as the decode macro's EOS-mid-macro handling).
+                del req.output_token_ids[idx + 1:]
+                req.status = RequestStatus.FINISHED_STOPPED
+            elif idx + 1 >= sp.max_new_tokens:
+                req.status = RequestStatus.FINISHED_LENGTH
+            trailing_ph = any(
+                t == PLACEHOLDER for t in req.output_token_ids[idx + 1:]
+            )
+            if not trailing_ph:
+                self._inflight.discard(req.req_id)
+            if req.is_finished:
+                if not trailing_ph:
+                    self.kv.cache_blocks(req)
+                self.kv.free(req)  # deferred while a successor is in flight
+                if req in self.running:
+                    self.running.remove(req)
+                self._pull_started.discard(req.req_id)
+                self.requests.pop(req.req_id, None)
+            elif not trailing_ph:
+                self.kv.cache_blocks(req)
+        return emitted
 
     # ---- post-forward update ---------------------------------------------------
 
