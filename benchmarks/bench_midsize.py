@@ -163,7 +163,10 @@ def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True,
     dt = time.perf_counter() - decode_t0
     total_wall = time.perf_counter() - t0
     ttft = sorted(first.values())
-    decode_tps = decode_toks / dt
+    # With a one-chunk prefill budget (chunk >= B*prompt) the first-token
+    # burst and the decode window can collapse into too few step() returns
+    # to measure; report 0 rather than dividing by it below.
+    decode_tps = decode_toks / dt if decode_toks and dt > 0 else 0.0
 
     # Prefill characterization (VERDICT r2 #3): the window from submit to
     # the LAST first-token is (chunked) prefill plus its first decode
@@ -181,7 +184,7 @@ def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True,
     B, L = batch, LAYERS
     mean_ctx = 512 + new_tokens / 2
     kv_bytes = B * mean_ctx * (256 + 32 + 8) * L
-    step_time = B / decode_tps
+    step_time = B / decode_tps if decode_tps else float("inf")
     bytes_per_step = param_bytes + kv_bytes
     hbm_util = bytes_per_step / step_time / HBM_BYTES_PER_S * 100
 
@@ -228,7 +231,18 @@ def run_mixed_itl(new_tokens: int = 96, batch: int = BATCH,
                         ignore_eos=True)
     half = batch // 2
     mk = lambda: [list(rng.randint(1, 31999, 512)) for _ in range(half)]
-    eng.generate(mk() + mk(), sp)  # warm/compile both bucket sets
+    # Warm with the SAME staggered admission pattern as the measurement:
+    # a flat generate() never compiles the mixed prefill+decode buckets, so
+    # the 1-2 mixed steps measured below would each be a cold compile
+    # (observed: 3.3 s/"step" on the r3 TPU session — all compile).
+    for p in mk():
+        eng.add_request(p, sp)
+    for _ in range(8):
+        eng.step()
+    for p in mk():
+        eng.add_request(p, sp)
+    while eng.has_unfinished:
+        eng.step()
 
     first_ids = [eng.add_request(p, sp) for p in mk()]
     # settle the first half into steady decode (well under max_new_tokens

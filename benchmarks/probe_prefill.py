@@ -79,6 +79,7 @@ def main():
     flops_tok = 2 * 379e6  # active matmul params (bench_midsize accounting)
 
     def timed(name, fn, *args, flops=None):
+        """``flops`` is per ONE inner iteration (dt is per-iteration too)."""
         f = jax.jit(fn)
         t0 = time.perf_counter()
         jax.block_until_ready(f(*args))
@@ -113,7 +114,7 @@ def main():
         return
 
     t_full = timed("full", full, params, cache, batch,
-                   flops=INNER * B * T * flops_tok)
+                   flops=B * T * flops_tok)
 
     layers_xs, moe_stacks = split_moe_stacks(
         fuse_projections(params["layers"], mcfg), mcfg)
@@ -146,7 +147,7 @@ def main():
     score = 2 * H * ctx_mean * (r + dr)
     attn_flops = 2 * B * T * (proj + absorb) + B * T * score * 2
     t_attn = timed("attn", attn_only, params, cache, batch,
-                   flops=INNER * attn_flops * L / L * L)
+                   flops=attn_flops * L)
 
     # ---- ffn-only layer scan ----
     def ffn_only(params, cache, batch):
@@ -170,7 +171,7 @@ def main():
         1024 * 16  # router gate
         + (mcfg.top_k + 1) * 3 * 1024 * 2816)  # routed top2 + shared
     t_ffn = timed("ffn", ffn_only, params, cache, batch,
-                  flops=INNER * ffn_flops)
+                  flops=ffn_flops)
 
     # ---- final norm + last-pos gather + lm_head ----
     def head_only(params, batch):
@@ -184,7 +185,7 @@ def main():
         return jax.lax.fori_loop(0, INNER, body, jnp.zeros(()))
 
     t_head = timed("head", head_only, params, batch,
-                   flops=INNER * 2 * B * 1024 * 32000)
+                   flops=2 * B * 1024 * 32000)
 
     print(f"sum(attn+ffn+head) = {(t_attn+t_ffn+t_head)*1e3:.2f} ms "
           f"vs full {t_full*1e3:.2f} ms "
