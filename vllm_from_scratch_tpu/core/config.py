@@ -91,9 +91,13 @@ class SchedulerConfig:
     # dispatched against placeholder tokens before step N's results are
     # fetched, hiding host scheduling + dispatch latency during the
     # TTFT-critical prefill phase (the decode analogue is decode_steps > 1).
-    # Emission is delayed by one step; outputs are unchanged.  Auto-disabled
-    # when it cannot compose (pp / dp / cp meshes, speculative decoding).
+    # Emission is delayed by async_depth steps; outputs are unchanged.
+    # Auto-disabled when it cannot compose (pp / dp / cp meshes,
+    # speculative decoding).  Depth 2 hides the result-fetch round trip on
+    # top of host scheduling (fetch RTT can exceed a chunk's compute, so a
+    # depth-1 pipeline is fetch-bound — benchmarks/RESULTS.md r3).
     async_scheduling: bool = True
+    async_depth: int = 2
     # Preemption policy when blocks run out (blog scheduler BLOG_PART2.md:992-1015).
     enable_preemption: bool = True
     policy: str = "fcfs"  # or "priority"

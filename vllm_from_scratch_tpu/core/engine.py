@@ -264,9 +264,23 @@ class LLMEngine:
                                       static_argnums=(7, 8))
         # Async scheduling (prefill/mixed dispatch-before-sync) rides the
         # mixed step's override operands; same composition envelope.
+        # _pending_q holds up to async_depth in-flight steps: depth >= 2
+        # keeps dispatching while the oldest step's D2H result is still in
+        # flight — over the axon tunnel a result fetch costs a ~29 ms RTT
+        # on top of the ~24 ms chunk compute, so a depth-1 pipeline is
+        # fetch-bound (measured 51 ms/step; r3 prefill host trace).
         self._async_ok = self._mixed_ok and config.scheduler.async_scheduling
-        self._pending_out: Optional[dict] = None
+        self._async_depth = max(1, config.scheduler.async_depth)
+        self._pending_q: deque = deque()
         self._dummy_prev = jnp.zeros((8,), jnp.int32)
+        # NOTE (r3, measured): a D2H result fetch over the axon tunnel
+        # costs a ~30 ms round trip whenever device work is queued
+        # (copy_to_host_async only completes once the queue drains), and a
+        # background fetch thread makes it WORSE (the early fetch RPC
+        # head-of-line blocks the next dispatch's H2D: TTFT 123 -> 352 ms).
+        # Commits therefore fetch synchronously; the fix for fetch-bound
+        # phases is fewer, bigger steps (decode macro scan; mixed macro),
+        # not more transfer overlap.
 
         def _decode_scan(params, cache, tok0, packed, sstate, K: int, mode: str):
             """K autoregressive decode iterations in one compiled program.
@@ -620,11 +634,10 @@ class LLMEngine:
 
     def abort_request(self, req_id: int) -> bool:
         self._arrival.pop(req_id, None)  # aborted pre-first-token: no TTFT
-        if self._pending_out is not None:
-            # Sync the in-flight async step first: its device writes may
-            # target this request's blocks, and with no successor step
-            # nothing else would flush the deferred frees.
-            self._commit_pending()
+        # Sync the in-flight async steps first: their device writes may
+        # target this request's blocks, and with no successor step nothing
+        # else would flush the deferred frees.
+        self._commit_all_pending()
         return self.scheduler.abort_request(req_id)
 
     def _note_first_token(self, req_id: int, now: float) -> None:
@@ -653,8 +666,12 @@ class LLMEngine:
         ``pad_between=(n_first, first_pad)``: the mixed prefill+decode step
         places the first ``n_first`` requests at rows 0.. and the rest at
         rows ``first_pad``.. (the logits concat is bucket-aligned)."""
+        # Key on the per-row VALUES, not request identity: chunked prefill
+        # rotates the scheduled group every step, and re-staging a
+        # same-valued state per step put a ~10 ms H2D on the tunnel's
+        # prefill critical path (r3 prefill trace: 22 ms/step device idle).
         key = (B_pad, pad_between, tuple(
-            (it.request.req_id, it.request.sampling.temperature,
+            (it.request.sampling.temperature,
              it.request.sampling.top_p, it.request.sampling.top_k)
             for it in group
         ))
@@ -896,7 +913,7 @@ class LLMEngine:
         advances with placeholder tokens (scheduler.update_async_dispatch);
         decode rows whose current token is the previous step's placeholder
         read it on-device from ``prev``'s output.  Returns the pending
-        record for ``_commit_pending``."""
+        record for ``_commit_oldest``."""
         from .scheduler import PLACEHOLDER
 
         group = prefill + decode
@@ -933,22 +950,29 @@ class LLMEngine:
             "rowof": {group[i].request.req_id: rows[i] for i in range(len(group))},
         }
 
-    def _commit_pending(self, p: Optional[dict] = None,
-                        has_successor: bool = False) -> List[Tuple[int, int]]:
-        """Sync a pending async step and apply its real tokens."""
-        if p is None:
-            p = self._pending_out
-            self._pending_out = None
+    def _commit_oldest(self) -> List[Tuple[int, int]]:
+        """Sync the OLDEST pending async step and apply its real tokens.
+        Commits run strictly FIFO so placeholder patches land in order.
+        Deferred block frees flush only once NO step is in flight (a
+        pending step's device writes may still target freed-request
+        blocks)."""
+        p = self._pending_q.popleft()
         arr = np.asarray(p["toks"])  # host sync for THIS step only
         self._eplb_accumulate(p["counts"])
         emitted = self.scheduler.update_async_commit(
             p["records"], [int(arr[r]) for r in p["rows"]])
-        if not has_successor and self._pending_macro is None:
+        if not self._pending_q and self._pending_macro is None:
             self.kv_mgr.flush_deferred_frees()
         now = time.monotonic()
         self.metrics["num_generated_tokens"] += len(emitted)
         for rid, _ in emitted:
             self._note_first_token(rid, now)
+        return emitted
+
+    def _commit_all_pending(self) -> List[Tuple[int, int]]:
+        emitted: List[Tuple[int, int]] = []
+        while self._pending_q:
+            emitted += self._commit_oldest()
         return emitted
 
     def _try_spec_step(self, scheduled: List[ScheduledRequest]) -> Optional[List[Tuple[int, int]]]:
@@ -1056,8 +1080,8 @@ class LLMEngine:
 
         scheduled = self.scheduler.schedule()
         if not scheduled:
-            if self._pending_out is not None:
-                return self._commit_pending()
+            if self._pending_q:
+                return self._commit_oldest()
             return []
 
         if self._eplb_on:
@@ -1069,22 +1093,51 @@ class LLMEngine:
         decode_items = [it for it in scheduled if it.num_new_tokens == 1]
 
         # Async scheduling: while prefill work exists, dispatch THIS step
-        # against the provisional (placeholder) state, THEN sync the
-        # previous one — the device never idles on the host between
-        # prefill/mixed steps (the decode analogue is _pump_async).
+        # against the provisional (placeholder) state and only then sync
+        # the OLDEST in-flight step — with async_depth >= 2 the pipeline
+        # hides both host scheduling AND the result-fetch RTT (the decode
+        # analogue is _pump_async).
         if self._async_ok and prefill_items:
-            prev = self._pending_out
-            self._pending_out = None
-            pend = self._dispatch_async(prefill_items, decode_items, prev)
-            emitted = self._commit_pending(prev, has_successor=True) \
-                if prev is not None else []
-            self._pending_out = pend
+            from .scheduler import PLACEHOLDER
+
+            emitted: List[Tuple[int, int]] = []
+            # A decode row's placeholder must come from the LATEST pending
+            # step (its on-device output feeds this dispatch).  A request
+            # that skipped a step (budget/preemption churn) can carry an
+            # older one: commit forward until every placeholder is either
+            # patched or owned by ``prev``.  Rare — FCFS grants running
+            # decodes every step.
+            def _stale(it):
+                return (it.request.all_token_ids()[it.start_pos]
+                        == PLACEHOLDER
+                        and (not self._pending_q or it.request.req_id
+                             not in self._pending_q[-1]["rowof"]))
+
+            while self._pending_q and any(_stale(it) for it in decode_items):
+                emitted += self._commit_oldest()
+            prev = self._pending_q[-1] if self._pending_q else None
+            if emitted:
+                # Commits may finish requests (EOS at patch time).
+                prefill_items = [it for it in prefill_items
+                                 if not it.request.is_finished]
+                decode_items = [it for it in decode_items
+                                if not it.request.is_finished]
+            if prefill_items:
+                pend = self._dispatch_async(prefill_items, decode_items,
+                                            prev)
+                self._pending_q.append(pend)
+                while len(self._pending_q) > self._async_depth:
+                    emitted += self._commit_oldest()
+            elif decode_items:
+                # EOS commits drained the prefill group: fall through to
+                # the plain decode paths next step; just report.
+                pass
             return emitted
 
-        # Paths below need real token values: sync any pending step first.
+        # Paths below need real token values: sync any pending steps first.
         emitted_prev: List[Tuple[int, int]] = []
-        if self._pending_out is not None:
-            emitted_prev = self._commit_pending()
+        if self._pending_q:
+            emitted_prev = self._commit_all_pending()
             # Commit may finish scheduled requests (EOS) — drop their items.
             scheduled = [it for it in scheduled if not it.request.is_finished]
             prefill_items = [it for it in scheduled if it.num_new_tokens > 1]
