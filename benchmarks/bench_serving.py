@@ -49,8 +49,15 @@ def run_rate(rate: float, verbose: bool = True) -> dict:
     def prompt():
         return prefix + list(rng.randint(1, 31999, PROMPT - SHARED))
 
-    # Warm both the prefill buckets and the decode macro path.
+    # Compilation warmup: precompile the full serving program set (decode
+    # macros, mixed macros, prefill buckets).  Without this, first-use
+    # compiles (3-13 s each) land mid-serving and dominate the window.
+    t0 = time.perf_counter()
+    n_prog = eng.warmup(prompt_lens=(PROMPT,))
     eng.generate([prompt() for _ in range(min(4, BATCH))], sp)
+    if verbose:
+        print(f"warmup: {n_prog} programs in "
+              f"{time.perf_counter()-t0:.0f} s", flush=True)
 
     n_total = max(4, int(rate * SECS))
     gaps = rng.exponential(1.0 / rate, n_total)

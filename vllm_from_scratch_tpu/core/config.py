@@ -98,6 +98,12 @@ class SchedulerConfig:
     # depth-1 pipeline is fetch-bound — benchmarks/RESULTS.md r3).
     async_scheduling: bool = True
     async_depth: int = 2
+    # Decode iterations fused behind each async mixed prefill step (the
+    # mixed analogue of decode_steps): under continuous serving a plain
+    # mixed step gives decode rows ONE token per prefill chunk and pays a
+    # result-fetch round trip per token; K iterations amortize both.
+    # 1 = plain mixed steps.
+    mixed_steps: int = 8
     # Preemption policy when blocks run out (blog scheduler BLOG_PART2.md:992-1015).
     enable_preemption: bool = True
     policy: str = "fcfs"  # or "priority"

@@ -64,6 +64,14 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _pow2_down(n: int) -> int:
+    """Largest power of two <= n (n >= 1)."""
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p
+
+
 def _unpack_batch(packed, T: int) -> ModelBatch:
     """Inverse of _run_group's packing (layout documented there)."""
     N = packed.shape[1] - 3 * T - 3
@@ -148,6 +156,10 @@ class LLMEngine:
         self.max_blocks_per_seq = min(
             cdiv(mcfg.max_position, self.block_size), ccfg.num_blocks
         )
+        # Pinned decode-group row count (see _pack_group(decode=True)).
+        _dp = config.parallel.dp_size
+        self._bd_pin = _dp * _next_pow2(
+            cdiv(config.scheduler.max_num_seqs, _dp))
 
         mesh = self.mesh
         ep_dispatch = config.parallel.ep_dispatch
@@ -323,6 +335,82 @@ class LLMEngine:
 
         self._decode_scan_fn = jax.jit(
             _decode_scan, donate_argnums=(1,), static_argnums=(5, 6))
+
+        def _mixed_macro(params, cache, packed_p, packed_d, prev_toks, src,
+                         sstate, Tp: int, K: int, mode: str):
+            """ONE compiled program = one fused prefill+decode step, then
+            K-1 further decode iterations (lax.scan): under continuous
+            serving, plain mixed steps give decode rows ONE token per
+            prefill chunk (~40+ ms/token ITL) and pay a result-fetch RTT
+            per token; the macro amortizes both K-fold, the mixed analogue
+            of _decode_scan.
+
+            packed_d rows: [pos0 | tables(N) | slots(K) | tok0 | seed].
+            Returns (toks_flat [Bp+Bd + (K-1)*Bd], chain [Bp+Bd], cache,
+            counts): toks_flat is the single fetch target (iteration-0
+            tokens first, then decode iterations row-major); chain carries
+            each row's LATEST token for the next dispatch's src chaining
+            (same layout as the plain mixed step's output)."""
+            Bp = packed_p.shape[0]
+            bp = _unpack_batch(packed_p, Tp)
+            N = packed_d.shape[1] - 1 - K - 2
+            pos0 = packed_d[:, 0]
+            tables = packed_d[:, 1:1 + N]
+            slots_k = packed_d[:, 1 + N:1 + N + K]
+            tok_host = packed_d[:, 1 + N + K]
+            skey = jax.random.fold_in(base_key, packed_d[0, 1 + N + K + 1])
+            tok0 = jnp.where(
+                src >= 0,
+                prev_toks[jnp.clip(src, 0, prev_toks.shape[0] - 1)],
+                tok_host,
+            )
+            bd0 = ModelBatch(
+                tokens=tok0[:, None], positions=pos0[:, None],
+                slots=slots_k[:, 0][:, None], block_tables=tables,
+                ctx_lens=pos0 + 1, q_lens=jnp.ones_like(pos0),
+            )
+            if eplb_on:
+                lp, ld, cache, counts0 = transformer.forward_mixed(
+                    params, cache, bp, bd0, mcfg, block_size=ccfg.block_size,
+                    mesh=mesh, ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                    collect_expert_counts=True)
+            else:
+                lp, ld, cache = transformer.forward_mixed(
+                    params, cache, bp, bd0, mcfg, block_size=ccfg.block_size,
+                    mesh=mesh, ep_dispatch=ep_dispatch, mla_kv=mla_kv)
+                counts0 = _no_counts
+            tok_full0 = sample(jnp.concatenate([lp, ld], axis=0), sstate,
+                               jax.random.fold_in(skey, 0), mode)
+            sstate_d = type(sstate)(*(x[Bp:] for x in sstate))
+
+            def body(carry, k):
+                cache, tok, pos = carry
+                b = ModelBatch(
+                    tokens=tok[:, None],
+                    positions=pos[:, None],
+                    slots=slots_k[:, k][:, None],
+                    block_tables=tables,
+                    ctx_lens=pos + 1,
+                    q_lens=jnp.ones_like(pos),
+                )
+                if eplb_on:
+                    logits, cache, counts = _fwd_counting(params, cache, b)
+                else:
+                    logits, cache = _fwd(params, cache, b)
+                    counts = _no_counts
+                tok2 = sample(logits, sstate_d,
+                              jax.random.fold_in(skey, k), mode)
+                return (cache, tok2, pos + 1), (tok2, counts)
+
+            (cache, tok_last, _), (toks_rest, counts_k) = jax.lax.scan(
+                body, (cache, tok_full0[Bp:], pos0 + 1), jnp.arange(1, K))
+            toks_flat = jnp.concatenate([tok_full0, toks_rest.reshape(-1)])
+            chain = jnp.concatenate([tok_full0[:Bp], tok_last])
+            counts = counts0 + counts_k.sum(axis=0) if eplb_on else _no_counts
+            return toks_flat, chain, cache, counts
+
+        self._mixed_macro_fn = jax.jit(
+            _mixed_macro, donate_argnums=(1,), static_argnums=(7, 8, 9))
 
         # Sampling state cached on device, re-staged only when the batch
         # composition or sampling params change.
@@ -694,10 +782,19 @@ class LLMEngine:
             self._sstate_key = key
         return self._sstate_dev
 
-    def _pack_group(self, group: List[ScheduledRequest]):
+    def _pack_group(self, group: List[ScheduledRequest],
+                    decode: bool = False):
         """Stage one group's packed int32 buffer (layout: [tokens |
         positions | slots | tables | ctx | q_len | seed] per row).
-        Returns (packed [B_pad, 3*T_pad + N_pad + 3], B_pad, T_pad)."""
+        Returns (packed [B_pad, 3*T_pad + N_pad + 3], B_pad, T_pad).
+
+        ``decode=True`` PINS the row count and table width to config
+        constants (max seqs / max table width): decode cost is weight-
+        stream-bound and the paged kernels skip masked rows/pages, so the
+        padding is nearly free — while arrival-dependent shapes made every
+        serving pattern compile fresh programs (3-7 s stalls dominated
+        bench_serving, r3).  Prefill groups stay adaptive: the expanded
+        MLA prefill materializes by table width."""
         B = len(group)
         # Bucket the batch to dp * pow2 so rows shard evenly over "dp".
         dp = self.config.parallel.dp_size
@@ -706,6 +803,9 @@ class LLMEngine:
         T_pad = _next_pow2(T)
         n_blocks = max(len(it.request.block_ids) for it in group)
         N_pad = min(_next_pow2(max(n_blocks, 1)), self.max_blocks_per_seq)
+        if decode:
+            B_pad = max(B_pad, self._bd_pin)
+            N_pad = self.max_blocks_per_seq
 
         packed = np.zeros((B_pad, 3 * T_pad + N_pad + 3), np.int32)
         for i, it in enumerate(group):
@@ -725,7 +825,7 @@ class LLMEngine:
         """One fused prefill+decode device call (weights stream once);
         returns sampled tokens for prefill + decode, in that order."""
         packed_p, Bp_pad, Tp_pad = self._pack_group(prefill)
-        packed_d, Bd_pad, _ = self._pack_group(decode)
+        packed_d, Bd_pad, _ = self._pack_group(decode, decode=True)
         sstate, mode = self._get_sstate(prefill + decode, Bp_pad + Bd_pad,
                                         pad_between=(len(prefill), Bp_pad))
         src = np.full((packed_d.shape[0],), -1, np.int32)
@@ -737,10 +837,11 @@ class LLMEngine:
         return ([int(t) for t in arr[:len(prefill)]]
                 + [int(t) for t in arr[Bp_pad:Bp_pad + len(decode)]])
 
-    def _run_group(self, group: List[ScheduledRequest]) -> List[int]:
+    def _run_group(self, group: List[ScheduledRequest],
+                   decode: bool = False) -> List[int]:
         """Stage one bucketed model call; returns sampled token per item."""
         B = len(group)
-        packed, B_pad, T_pad = self._pack_group(group)
+        packed, B_pad, T_pad = self._pack_group(group, decode=decode)
 
         if self.mesh is not None and self.config.parallel.dp_size > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -781,6 +882,11 @@ class LLMEngine:
         )
         if K <= 1:
             return False
+        # Bucket K DOWN to a power of two: K is a static arg of the scan
+        # program, and under staggered serving loads the min-remaining cap
+        # otherwise takes near-arbitrary values — each a fresh multi-second
+        # compile (measured 3-13 s stalls dominating bench_serving, r3).
+        K = _pow2_down(K)
         granted = []
         for it in scheduled:
             extra = self.kv_mgr.allocate_slots(it.request, K)
@@ -801,9 +907,10 @@ class LLMEngine:
         already covered by in-flight macros (continuation dispatch)."""
         B = len(scheduled)
         dp = self.config.parallel.dp_size
-        B_pad = dp * _next_pow2(cdiv(B, dp))
-        n_blocks = max(len(it.request.block_ids) for it in scheduled)
-        N_pad = min(_next_pow2(max(n_blocks, 1)), self.max_blocks_per_seq)
+        # Pinned decode shapes (see _pack_group(decode=True)): arrival-
+        # independent programs, masked rows/pages are ~free.
+        B_pad = self._bd_pin
+        N_pad = self.max_blocks_per_seq
 
         # One packed transfer: [pos0 | tables | slots_k | seed].
         packed = np.zeros((B_pad, 1 + N_pad + K + 1), np.int32)
@@ -855,6 +962,7 @@ class LLMEngine:
         )
         if K2 <= 1:
             return None
+        K2 = _pow2_down(K2)  # static scan length: bound the program count
         granted = []
         for it in scheduled:
             # num_computed still sits at start_pos + p["offset"] (p's updates
@@ -920,13 +1028,13 @@ class LLMEngine:
         self.kv_mgr.begin_deferred_frees()
         if decode:
             packed_p, Bp_pad, Tp_pad = self._pack_group(prefill)
-            packed_d, Bd_pad, _ = self._pack_group(decode)
+            packed_d, Bd_pad, _ = self._pack_group(decode, decode=True)
             src = np.full((Bd_pad,), -1, np.int32)
             for j, it in enumerate(decode):
                 if it.request.all_token_ids()[it.start_pos] == PLACEHOLDER:
                     row = prev["rowof"][it.request.req_id]  # must exist
                     src[j] = row
-            prev_toks = prev["toks"] if prev is not None else self._dummy_prev
+            prev_toks = prev["chain"] if prev is not None else self._dummy_prev
             sstate, mode = self._get_sstate(group, Bp_pad + Bd_pad,
                                             pad_between=(len(prefill), Bp_pad))
             toks, self.cache, counts = self._step_mixed_fn(
@@ -946,9 +1054,176 @@ class LLMEngine:
         self.metrics["num_prefill_tokens"] += sum(
             it.num_new_tokens for it in prefill)
         return {
-            "toks": toks, "rows": rows, "records": records, "counts": counts,
+            "toks": toks, "chain": toks, "rows": rows, "records": records,
+            "counts": counts,
             "rowof": {group[i].request.req_id: rows[i] for i in range(len(group))},
         }
+
+    def warmup(self, prompt_lens: Sequence[int] = (512,),
+               modes: Sequence[str] = ("greedy",)) -> int:
+        """Precompile the serving program set (vLLM-TPU-style compilation
+        warmup).  With decode shapes pinned (_pack_group(decode=True)) the
+        set is bounded and arrival-independent, but each program still
+        compiles on first use — under live Poisson traffic those compiles
+        (3-13 s each over a remote-compile link) land mid-serving and
+        dominate tail latency (measured: 21 compile stalls = 105 s of a
+        112 s bench_serving window, r3).  Call once at server start.
+
+        Executes each program ONCE on all-pad dummy rows (pads write the
+        null block and read zero context — the engine's standing pad
+        convention), so the real jit call cache is populated.  Returns the
+        number of programs executed."""
+        scfg = self.config.scheduler
+        budget = scfg.max_num_batched_tokens
+        Bd, Nd = self._bd_pin, self.max_blocks_per_seq
+        count = 0
+
+        def sstate_for(B):
+            return jax.device_put(make_sampling_state([], B))
+
+        dummy_src = jnp.full((Bd,), -1, jnp.int32)
+
+        ks = sorted({_pow2_down(k) for k in range(2, scfg.decode_steps + 1)}) \
+            if scfg.decode_steps > 1 else []
+        mixed_ks = sorted({_pow2_down(k)
+                           for k in range(2, scfg.mixed_steps + 1)}) \
+            if scfg.mixed_steps > 1 else []
+
+        for mode in modes:
+            sst_d = sstate_for(Bd)
+            # Pure-decode: single step + every macro length (+continuation
+            # reuses the same programs).
+            packed1 = np.zeros((Bd, 3 * 1 + Nd + 3), np.int32)
+            toks, self.cache, _ = self._step_fn(
+                self.params, self.cache, packed1, sst_d, 1, mode)
+            count += 1
+            for K in ks:
+                packedk = np.zeros((Bd, 1 + Nd + K + 1), np.int32)
+                tok0 = jnp.zeros((Bd,), jnp.int32)
+                _, self.cache, _ = self._decode_scan_fn(
+                    self.params, self.cache, tok0, packedk, sst_d, K, mode)
+                count += 1
+
+            for plen in prompt_lens:
+                Tp = _next_pow2(min(plen, budget))
+                n_p = _next_pow2(max(1, cdiv(plen, self.block_size)))
+                bp_max = max(1, min(_next_pow2(scfg.max_num_seqs),
+                                    budget // Tp))
+                n_ps = {min(n_p, Nd), min(2 * n_p, Nd)}
+                bp = 1
+                while bp <= bp_max:
+                    for Np in sorted(n_ps):
+                        packed_p = np.zeros((bp, 3 * Tp + Np + 3), np.int32)
+                        _, self.cache, _ = self._step_fn(
+                            self.params, self.cache, packed_p,
+                            sstate_for(bp), Tp, mode)
+                        count += 1
+                        if not self._mixed_ok:
+                            continue
+                        packed_d1 = np.zeros((Bd, 3 * 1 + Nd + 3), np.int32)
+                        sst_m = sstate_for(bp + Bd)
+                        _, self.cache, _ = self._step_mixed_fn(
+                            self.params, self.cache, packed_p, packed_d1,
+                            self._dummy_prev, dummy_src, sst_m, Tp, mode)
+                        count += 1
+                        for K in mixed_ks:
+                            packed_dk = np.zeros((Bd, 1 + Nd + K + 2),
+                                                 np.int32)
+                            _, _, self.cache, _ = self._mixed_macro_fn(
+                                self.params, self.cache, packed_p, packed_dk,
+                                self._dummy_prev, dummy_src, sst_m, Tp, K,
+                                mode)
+                            count += 1
+                    bp *= 2
+        return count
+
+    def _mixed_macro_k(self, decode: List[ScheduledRequest]) -> int:
+        """Decode iterations to fuse behind this mixed step.
+
+        Adaptive: every fused iteration delays the NEXT prefill chunk by
+        one decode step (~5 ms), so K scales with the decode-row share —
+        a cold burst (prefill backlog >> decode rows) keeps K near 1 to
+        protect TTFT, while steady serving (decode rows dominate) runs
+        the full mixed_steps to amortize the per-step result-fetch RTT.
+        K is bucketed to powers of two so at most log2(mixed_steps) macro
+        programs ever compile; capped so no row overruns max_new_tokens
+        (output length already counts in-flight placeholders)."""
+        if not decode:
+            return 0
+        K_max = self.config.scheduler.mixed_steps
+        backlog = len(self.scheduler.waiting) + sum(
+            1 for r in self.scheduler.running if r.is_prefill)
+        share = len(decode) / max(1, len(decode) + backlog)
+        K = min(K_max, int(K_max * share + 0.5))
+        K = min(K, min(
+            it.request.sampling.max_new_tokens
+            - len(it.request.output_token_ids)
+            for it in decode
+        ))
+        return _pow2_down(K) if K >= 1 else 0
+
+    def _dispatch_async_macro(self, prefill: List[ScheduledRequest],
+                              decode: List[ScheduledRequest],
+                              prev: Optional[dict],
+                              K: int) -> Optional[dict]:
+        """Dispatch one fused prefill + K-step decode macro without syncing
+        it.  Returns None (and rolls back slot grants) when the pool can't
+        cover K tokens per decode row — caller falls back to the plain
+        1-step mixed dispatch."""
+        from .scheduler import PLACEHOLDER
+
+        granted = []
+        for it in decode:
+            extra = self.kv_mgr.allocate_slots(it.request, K)
+            if extra is None:
+                for req, ids in granted:
+                    self.kv_mgr.rollback(req, ids)
+                return None
+            granted.append((it.request, extra))
+
+        self.kv_mgr.begin_deferred_frees()
+        packed_p, Bp_pad, Tp_pad = self._pack_group(prefill)
+        Bd = len(decode)
+        Bd_pad = self._bd_pin  # pinned decode shapes (_pack_group docstring)
+        N_pad = self.max_blocks_per_seq
+        packed_d = np.zeros((Bd_pad, 1 + N_pad + K + 2), np.int32)
+        src = np.full((Bd_pad,), -1, np.int32)
+        for j, it in enumerate(decode):
+            req, s0 = it.request, it.start_pos
+            packed_d[j, 0] = s0
+            packed_d[j, 1:1 + len(req.block_ids)] = req.block_ids
+            packed_d[j, 1 + N_pad:1 + N_pad + K] = self.kv_mgr.slot_mapping(
+                req, s0, K)
+            cur = req.all_token_ids()[s0]
+            if cur == PLACEHOLDER:
+                src[j] = prev["rowof"][req.req_id]  # must exist (step())
+            else:
+                packed_d[j, 1 + N_pad + K] = cur
+        packed_d[:, 1 + N_pad + K + 1] = self._next_seed()
+
+        group = prefill + decode
+        sstate, mode = self._get_sstate(group, Bp_pad + Bd_pad,
+                                        pad_between=(len(prefill), Bp_pad))
+        prev_toks = prev["chain"] if prev is not None else self._dummy_prev
+        toks, chain, self.cache, counts = self._mixed_macro_fn(
+            self.params, self.cache, packed_p, packed_d, prev_toks,
+            jnp.asarray(src), sstate, Tp_pad, K, mode)
+        B0 = Bp_pad + Bd_pad
+        rows = (list(range(len(prefill)))
+                + [Bp_pad + j for j in range(Bd)]
+                + [B0 + (k - 1) * Bd_pad + j
+                   for k in range(1, K) for j in range(Bd)])
+        records = self.scheduler.update_async_dispatch_macro(group, decode, K)
+        self.metrics["num_steps"] += 1
+        self.metrics["num_prefill_tokens"] += sum(
+            it.num_new_tokens for it in prefill)
+        rowof = {}
+        for i in range(len(prefill)):
+            rowof[prefill[i].request.req_id] = i
+        for j in range(Bd):
+            rowof[decode[j].request.req_id] = Bp_pad + j
+        return {"toks": toks, "chain": chain, "rows": rows,
+                "records": records, "counts": counts, "rowof": rowof}
 
     def _commit_oldest(self) -> List[Tuple[int, int]]:
         """Sync the OLDEST pending async step and apply its real tokens.
@@ -1123,8 +1398,14 @@ class LLMEngine:
                 decode_items = [it for it in decode_items
                                 if not it.request.is_finished]
             if prefill_items:
-                pend = self._dispatch_async(prefill_items, decode_items,
-                                            prev)
+                pend = None
+                K = self._mixed_macro_k(decode_items)
+                if K >= 2:
+                    pend = self._dispatch_async_macro(
+                        prefill_items, decode_items, prev, K)
+                if pend is None:
+                    pend = self._dispatch_async(prefill_items, decode_items,
+                                                prev)
                 self._pending_q.append(pend)
                 while len(self._pending_q) > self._async_depth:
                     emitted += self._commit_oldest()
@@ -1169,9 +1450,10 @@ class LLMEngine:
             for it, tok in zip(prefill + decode, toks):
                 sampled[id(it)] = tok
         else:
-            for group in (prefill, decode):
+            for group, is_dec in ((prefill, False), (decode, True)):
                 if group:
-                    for it, tok in zip(group, self._run_group(group)):
+                    toks = self._run_group(group, decode=is_dec)
+                    for it, tok in zip(group, toks):
                         sampled[id(it)] = tok
 
         emitted = self.scheduler.update(scheduled, [sampled[id(it)] for it in scheduled])

@@ -340,6 +340,27 @@ class Scheduler:
                 records.append(None)
         return records
 
+    def update_async_dispatch_macro(self, scheduled: List[ScheduledRequest],
+                                    decode_items: List[ScheduledRequest],
+                                    K: int):
+        """Macro dispatch bookkeeping: the base step (``scheduled`` =
+        prefill chunks + decode iteration 0), then K-1 further decode
+        iterations per decode row — matching the engine's fused
+        prefill + K-step decode program.  Record order mirrors the
+        program's flat token layout: base step first, then iterations
+        1..K-1 row-major."""
+        records = self.update_async_dispatch(scheduled)
+        for _k in range(1, K):
+            for item in decode_items:
+                req = item.request
+                if req.is_finished:
+                    records.append(None)
+                    continue
+                req.num_computed_tokens += 1
+                req.output_token_ids.append(PLACEHOLDER)
+                records.append((req, len(req.output_token_ids) - 1))
+        return records
+
     def update_async_commit(self, records, sampled_tokens) -> List[tuple]:
         """Patch a synced step's real tokens into the placeholders and run
         the finish logic ``update`` would have run.  Mirrors update():
