@@ -26,6 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 SECS = float(os.environ.get("VFS_BENCH_SERVING_SECS", "60"))
+# VFS_SERVING_STEPLOG=path: dump one line per engine.step() —
+# (t_end, dt, n_running, n_prefill, n_waiting, n_emitted) — for
+# diagnosing where serving wall time goes.
+STEPLOG = [] if os.environ.get("VFS_SERVING_STEPLOG") else None
 NEW_TOKENS = 128
 PROMPT = 512
 SHARED = 32
@@ -78,8 +82,14 @@ def run_rate(rate: float, verbose: bool = True) -> dict:
                 break
             time.sleep(min(0.002, arrivals[nxt] - now))
             continue
+        ts = time.perf_counter()
         emitted = eng.step()
         now = time.perf_counter() - t0
+        if STEPLOG is not None:
+            npf = sum(1 for r in eng.scheduler.running if r.is_prefill)
+            STEPLOG.append((round(now, 4), round(now - (ts - t0), 4),
+                            len(eng.scheduler.running), npf,
+                            len(eng.scheduler.waiting), len(emitted)))
         # Macro decode emits K tokens per request at once; charge the gap
         # per TOKEN so ITL percentiles reflect the per-token cadence a
         # streaming client sees, not the macro boundary.
@@ -113,6 +123,11 @@ def run_rate(rate: float, verbose: bool = True) -> dict:
         "prefix_hit_rate": round(eng.kv_mgr.hit_rate, 3),
         "wall_s": round(wall, 1),
     }
+    if STEPLOG is not None:
+        with open(os.environ["VFS_SERVING_STEPLOG"], "w") as f:
+            for row in STEPLOG:
+                f.write(json.dumps(row) + "\n")
+        STEPLOG.clear()
     if verbose:
         print(json.dumps(out), flush=True)
     return out

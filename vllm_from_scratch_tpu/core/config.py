@@ -104,6 +104,14 @@ class SchedulerConfig:
     # result-fetch round trip per token; K iterations amortize both.
     # 1 = plain mixed steps.
     mixed_steps: int = 8
+    # Chunked-prefill quantum: when a prompt is SPLIT (chunk < remaining),
+    # the chunk is rounded down to a multiple of this, so budget
+    # fragmentation (decode rows nibbling the token budget) can't mint
+    # near-arbitrary chunk sizes — each a distinct compiled program on
+    # TPU (static shapes).  The engine pads sub-quantum final chunks up
+    # into the quantum token bucket (_pack_group _tp_floor).  Only active
+    # when the budget covers >= 2 quanta; 0 disables.
+    chunk_quantum: int = 512
     # Preemption policy when blocks run out (blog scheduler BLOG_PART2.md:992-1015).
     enable_preemption: bool = True
     policy: str = "fcfs"  # or "priority"

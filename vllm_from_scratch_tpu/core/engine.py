@@ -160,6 +160,11 @@ class LLMEngine:
         _dp = config.parallel.dp_size
         self._bd_pin = _dp * _next_pow2(
             cdiv(config.scheduler.max_num_seqs, _dp))
+        # Prefill token-bucket floor (see _pack_group): tail chunks pad up
+        # into this bucket instead of minting tiny per-size programs.
+        self._tp_floor = min(
+            _next_pow2(max(config.scheduler.chunk_quantum, 1)),
+            _next_pow2(config.scheduler.max_num_batched_tokens))
 
         mesh = self.mesh
         ep_dispatch = config.parallel.ep_dispatch
@@ -230,16 +235,33 @@ class LLMEngine:
         self._step_fn = jax.jit(_step, donate_argnums=(1,),
                                 static_argnums=(4, 5))
 
+        # Async chain buffer: every async dispatch publishes its rows'
+        # latest tokens into a FIXED-size, FIXED-layout device vector
+        # ([prefill rows at 0.._bd_pin) | decode rows at _bd_pin..2*_bd_pin)],
+        # possible because admissions per step <= max_num_seqs) that the
+        # next dispatch reads through ``src``.  A variable-length chain
+        # (the r3 first cut) made every consumer program specialize on the
+        # PREVIOUS step's padding too — the cross-product compiled fresh
+        # multi-second programs all through a serving window even after
+        # warmup (steplog: 5-7 s stalls on every prefill arrival).
+        bd_pin = self._bd_pin
+        chain_len = 2 * bd_pin
+
+        def _make_chain(tokens_p, tokens_d):
+            chain = jnp.zeros((chain_len,), jnp.int32)
+            chain = jax.lax.dynamic_update_slice(chain, tokens_p, (0,))
+            return jax.lax.dynamic_update_slice(chain, tokens_d, (bd_pin,))
+
         def _step_mixed(params, cache, packed_p, packed_d, prev_toks, src,
                         sstate, Tp: int, mode: str):
             """ONE fused prefill+decode step (transformer.forward_mixed):
-            weights stream once for both groups.  Returns tokens
-            [Bp_pad + Bd_pad] (prefill rows first).
+            weights stream once for both groups.  Returns (tokens
+            [Bp_pad + Bd_pad] (prefill rows first), chain [2*_bd_pin]).
 
             ``prev_toks``/``src``: async scheduling — decode rows whose
             current token was sampled by the still-unsynced previous step
-            read it from that step's on-device output (src[j] = row in
-            prev_toks; -1 = use the host-packed token)."""
+            read it from that step's on-device output (src[j] = index into
+            prev_toks, the fixed chain layout; -1 = host-packed token)."""
             bp = _unpack_batch(packed_p, Tp)
             bd = _unpack_batch(packed_d, 1)
             tok0 = jnp.where(
@@ -261,7 +283,9 @@ class LLMEngine:
                 counts = _no_counts
             tokens = sample(jnp.concatenate([lp, ld], axis=0), sstate, skey,
                             mode)
-            return tokens, cache, counts
+            Bp = packed_p.shape[0]
+            chain = _make_chain(tokens[:Bp], tokens[Bp:])
+            return tokens, chain, cache, counts
 
         # Mixed step composes with tp (GSPMD) and EPLB; pp has its own
         # runner, dp shards batch rows (the concat would cross shards), cp
@@ -284,7 +308,11 @@ class LLMEngine:
         self._async_ok = self._mixed_ok and config.scheduler.async_scheduling
         self._async_depth = max(1, config.scheduler.async_depth)
         self._pending_q: deque = deque()
-        self._dummy_prev = jnp.zeros((8,), jnp.int32)
+        self._dummy_prev = jnp.zeros((chain_len,), jnp.int32)
+        # Pure-prefill async steps publish their chain via this tiny pad
+        # program (specializes per B_pad — a handful of trivial compiles).
+        self._chain_pad_fn = jax.jit(
+            lambda t: jnp.zeros((chain_len,), jnp.int32).at[:t.shape[0]].set(t))
         # NOTE (r3, measured): a D2H result fetch over the axon tunnel
         # costs a ~30 ms round trip whenever device work is queued
         # (copy_to_host_async only completes once the queue drains), and a
@@ -346,11 +374,11 @@ class LLMEngine:
             of _decode_scan.
 
             packed_d rows: [pos0 | tables(N) | slots(K) | tok0 | seed].
-            Returns (toks_flat [Bp+Bd + (K-1)*Bd], chain [Bp+Bd], cache,
+            Returns (toks_flat [Bp+Bd + (K-1)*Bd], chain [2*_bd_pin], cache,
             counts): toks_flat is the single fetch target (iteration-0
             tokens first, then decode iterations row-major); chain carries
-            each row's LATEST token for the next dispatch's src chaining
-            (same layout as the plain mixed step's output)."""
+            each row's LATEST token in the fixed chain layout (_make_chain)
+            for the next dispatch's src chaining."""
             Bp = packed_p.shape[0]
             bp = _unpack_batch(packed_p, Tp)
             N = packed_d.shape[1] - 1 - K - 2
@@ -405,7 +433,7 @@ class LLMEngine:
             (cache, tok_last, _), (toks_rest, counts_k) = jax.lax.scan(
                 body, (cache, tok_full0[Bp:], pos0 + 1), jnp.arange(1, K))
             toks_flat = jnp.concatenate([tok_full0, toks_rest.reshape(-1)])
-            chain = jnp.concatenate([tok_full0[:Bp], tok_last])
+            chain = _make_chain(tok_full0[:Bp], tok_last)
             counts = counts0 + counts_k.sum(axis=0) if eplb_on else _no_counts
             return toks_flat, chain, cache, counts
 
@@ -793,14 +821,20 @@ class LLMEngine:
         stream-bound and the paged kernels skip masked rows/pages, so the
         padding is nearly free — while arrival-dependent shapes made every
         serving pattern compile fresh programs (3-7 s stalls dominated
-        bench_serving, r3).  Prefill groups stay adaptive: the expanded
-        MLA prefill materializes by table width."""
+        bench_serving, r3).  Prefill groups stay adaptive in table width
+        (the expanded MLA prefill materializes by it) but their TOKEN
+        bucket has a floor (_tp_floor): tail chunks (prompt % quantum)
+        would otherwise mint one program per tiny pow2 bucket — padding a
+        short chunk into the floor bucket costs ~1 ms of masked compute
+        vs a multi-second mid-serving compile."""
         B = len(group)
         # Bucket the batch to dp * pow2 so rows shard evenly over "dp".
         dp = self.config.parallel.dp_size
         B_pad = dp * _next_pow2(cdiv(B, dp))
         T = max(it.num_new_tokens for it in group)
         T_pad = _next_pow2(T)
+        if T > 1:
+            T_pad = max(T_pad, self._tp_floor)
         n_blocks = max(len(it.request.block_ids) for it in group)
         N_pad = min(_next_pow2(max(n_blocks, 1)), self.max_blocks_per_seq)
         if decode:
@@ -829,7 +863,7 @@ class LLMEngine:
         sstate, mode = self._get_sstate(prefill + decode, Bp_pad + Bd_pad,
                                         pad_between=(len(prefill), Bp_pad))
         src = np.full((packed_d.shape[0],), -1, np.int32)
-        toks, self.cache, counts = self._step_mixed_fn(
+        toks, _chain, self.cache, counts = self._step_mixed_fn(
             self.params, self.cache, packed_p, packed_d, self._dummy_prev,
             jnp.asarray(src), sstate, Tp_pad, mode)
         self._eplb_accumulate(counts)
@@ -1037,26 +1071,33 @@ class LLMEngine:
             prev_toks = prev["chain"] if prev is not None else self._dummy_prev
             sstate, mode = self._get_sstate(group, Bp_pad + Bd_pad,
                                             pad_between=(len(prefill), Bp_pad))
-            toks, self.cache, counts = self._step_mixed_fn(
+            toks, chain, self.cache, counts = self._step_mixed_fn(
                 self.params, self.cache, packed_p, packed_d, prev_toks,
                 jnp.asarray(src), sstate, Tp_pad, mode)
             rows = (list(range(len(prefill)))
                     + [Bp_pad + j for j in range(len(decode))])
+            # Chain indices follow the FIXED layout (_make_chain): prefill
+            # rows at i, decode rows at _bd_pin + j.
+            chain_rows = (list(range(len(prefill)))
+                          + [self._bd_pin + j for j in range(len(decode))])
         else:
             packed, B_pad, T_pad = self._pack_group(prefill)
             sstate, mode = self._get_sstate(prefill, B_pad)
             toks, self.cache, counts = self._step_fn(
                 self.params, self.cache, packed, sstate, T_pad, mode)
+            chain = self._chain_pad_fn(toks)
             rows = list(range(len(prefill)))
+            chain_rows = rows
 
         records = self.scheduler.update_async_dispatch(group)
         self.metrics["num_steps"] += 1
         self.metrics["num_prefill_tokens"] += sum(
             it.num_new_tokens for it in prefill)
         return {
-            "toks": toks, "chain": toks, "rows": rows, "records": records,
+            "toks": toks, "chain": chain, "rows": rows, "records": records,
             "counts": counts,
-            "rowof": {group[i].request.req_id: rows[i] for i in range(len(group))},
+            "rowof": {group[i].request.req_id: chain_rows[i]
+                      for i in range(len(group))},
         }
 
     def warmup(self, prompt_lens: Sequence[int] = (512,),
@@ -1105,7 +1146,7 @@ class LLMEngine:
                 count += 1
 
             for plen in prompt_lens:
-                Tp = _next_pow2(min(plen, budget))
+                Tp = max(_next_pow2(min(plen, budget)), self._tp_floor)
                 n_p = _next_pow2(max(1, cdiv(plen, self.block_size)))
                 bp_max = max(1, min(_next_pow2(scfg.max_num_seqs),
                                     budget // Tp))
@@ -1114,15 +1155,16 @@ class LLMEngine:
                 while bp <= bp_max:
                     for Np in sorted(n_ps):
                         packed_p = np.zeros((bp, 3 * Tp + Np + 3), np.int32)
-                        _, self.cache, _ = self._step_fn(
+                        toks_p, self.cache, _ = self._step_fn(
                             self.params, self.cache, packed_p,
                             sstate_for(bp), Tp, mode)
+                        self._chain_pad_fn(toks_p)
                         count += 1
                         if not self._mixed_ok:
                             continue
                         packed_d1 = np.zeros((Bd, 3 * 1 + Nd + 3), np.int32)
                         sst_m = sstate_for(bp + Bd)
-                        _, self.cache, _ = self._step_mixed_fn(
+                        _, _, self.cache, _ = self._step_mixed_fn(
                             self.params, self.cache, packed_p, packed_d1,
                             self._dummy_prev, dummy_src, sst_m, Tp, mode)
                         count += 1
@@ -1217,11 +1259,13 @@ class LLMEngine:
         self.metrics["num_steps"] += 1
         self.metrics["num_prefill_tokens"] += sum(
             it.num_new_tokens for it in prefill)
+        # Chain indices follow the FIXED layout (_make_chain): prefill
+        # rows at i, decode rows at _bd_pin + j.
         rowof = {}
         for i in range(len(prefill)):
             rowof[prefill[i].request.req_id] = i
         for j in range(Bd):
-            rowof[decode[j].request.req_id] = Bp_pad + j
+            rowof[decode[j].request.req_id] = self._bd_pin + j
         return {"toks": toks, "chain": chain, "rows": rows,
                 "records": records, "counts": counts, "rowof": rowof}
 

@@ -183,7 +183,16 @@ class Scheduler:
         def cap_chunk(remaining: int, chunk: int) -> int:
             thr = self.config.long_prefill_token_threshold
             if thr and remaining > thr:
-                return min(chunk, thr)
+                chunk = min(chunk, thr)
+            # Quantize split chunks (final chunks pass through whole): on
+            # TPU every chunk size is a distinct compiled program, and
+            # budget fragmentation otherwise mints near-arbitrary sizes
+            # (see SchedulerConfig.chunk_quantum).  A zero result skips
+            # this request until a full quantum of budget frees up.
+            q = self.config.chunk_quantum
+            if q and 2 * q <= self.config.max_num_batched_tokens \
+                    and chunk < remaining:
+                chunk = (chunk // q) * q
             return chunk
 
         def note_partial(remaining: int, chunk: int) -> None:
@@ -274,6 +283,11 @@ class Scheduler:
             remaining = req.num_prompt_tokens - req.num_computed_tokens
             chunk = min(remaining, budget) if self.config.enable_chunked_prefill else remaining
             chunk = cap_chunk(remaining, chunk)
+            if chunk <= 0:
+                # Budget fragment below the chunk quantum: stop admission
+                # (FCFS) until a full quantum frees up next step.
+                self._rollback_admission(req, hits)
+                break
             if not partial_prefill_ok(remaining, chunk):
                 self._rollback_admission(req, hits)
                 idx += 1
