@@ -10,11 +10,13 @@ VERDICT r2 #10 named — an ENGINE regression (bucketing, scan staging,
 cache donation, async pipeline) that every kernel test would miss.  The
 CPU reference runs in a subprocess (one process holds one backend).
 
-Exactness rationale: greedy argmax over a 1000-vocab with random-init
-logits is stable across CPU/TPU bf16 rounding at this depth (12 tokens,
-2 layers) — the regression class this exists for (wrong slot mapping,
-stale cache, misindexed layer) corrupts tokens at O(1) probability per
-step, not in low-order bits.
+Exactness rationale: the child runs f32 activations under matmul
+precision "highest", so cross-backend rounding is ~1e-6 relative — far
+below the ~1e-2 top-2 logit gaps of a random-init 1000-vocab — while the
+regression class this exists for (wrong slot mapping, stale cache,
+misindexed layer, async-chain corruption) corrupts logits at O(1).  (The
+original bf16 child flaked in r3 on a near-tie argmax flip; see
+tpu_e2e_child.py's docstring.)
 """
 
 import json
