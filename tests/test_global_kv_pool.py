@@ -192,13 +192,19 @@ class TestTransferEngine:
         assert all(r is not None and r.success for r in results)
 
     def test_latency_model_intra_vs_cross_rack(self):
-        """Same rack (node//4) is materially faster than cross-rack."""
+        """Same rack (node//4) is materially faster than cross-rack.
+
+        Asserts on the MODELED duration the backend returns, not wall
+        clock: the intra/cross gap is 0.8 ms (200 us vs 1 ms reference
+        constants) while sleep-scheduling jitter on a loaded CI box is
+        several ms — the wall-clock form of this test flaked in r3."""
         backend = LatencyModelBackend()
         req_near = TransferRequest("a", 8, 10, [1], bytes_per_block=1024)
         req_far = TransferRequest("b", 0, 10, [1], bytes_per_block=1024)
-        t0 = time.monotonic(); backend.transfer(req_near); near = time.monotonic() - t0
-        t0 = time.monotonic(); backend.transfer(req_far); far = time.monotonic() - t0
+        near = backend.transfer(req_near).elapsed_s
+        far = backend.transfer(req_far).elapsed_s
         assert far > near
+        assert abs((far - near) - (1e-3 - 200e-6)) < 1e-9
 
     def test_wait_timeout_returns_none(self):
         class Slow:
