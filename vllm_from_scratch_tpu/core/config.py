@@ -114,6 +114,12 @@ class SchedulerConfig:
     chunk_quantum: int = 512
     # Preemption policy when blocks run out (blog scheduler BLOG_PART2.md:992-1015).
     enable_preemption: bool = True
+    # What happens to a victim's computed KV (vLLM V1 RECOMPUTE vs SWAP,
+    # BLOG_PART3_V2.md:1589-1625): "recompute" drops it and re-prefills on
+    # resume; "swap" copies full blocks to host memory and re-injects them
+    # at re-admission — for long-context victims this replaces an O(context)
+    # re-prefill with one H2D page copy.
+    preemption_mode: str = "recompute"
     policy: str = "fcfs"  # or "priority"
     long_prefill_token_threshold: int = 0  # 0 = disabled
     max_num_partial_prefills: int = 0      # 0 = unlimited

@@ -52,6 +52,12 @@ class Request:
     num_cached_blocks: int = 0  # how many of block_ids are already in the prefix cache
     # PD disaggregation: tokens satisfied from the global pool (module 06).
     num_remote_tokens: int = 0
+    # SWAP-mode preemption (vLLM V1's RECOMPUTE vs SWAP choice,
+    # BLOG_PART3_V2.md:1589-1625): host-resident KV pages of the first
+    # ``num_swapped_tokens`` positions, captured at swap-out and injected
+    # back into freshly allocated device blocks at re-admission.
+    swapped_pages: object = None
+    num_swapped_tokens: int = 0
 
     @property
     def num_prompt_tokens(self) -> int:
@@ -67,6 +73,16 @@ class Request:
         return self.num_computed_tokens < self.num_prompt_tokens
 
     @property
+    def needs_catchup(self) -> bool:
+        """More than one token of KV is owed before the next NEW token can
+        be sampled — fresh prefill, or a preemption-resumed request whose
+        already-generated outputs must be recomputed (they are KNOWN tokens:
+        they schedule as multi-token chunks and sample nothing until the
+        last one, exactly like prompt prefill).  Steady decode keeps the
+        invariant num_computed == num_tokens - 1."""
+        return self.num_computed_tokens < self.num_tokens - 1
+
+    @property
     def is_finished(self) -> bool:
         return self.status.is_finished
 
@@ -79,8 +95,22 @@ class Request:
 
     def preempt(self) -> None:
         """Preemption-by-recompute: drop all progress, keep outputs so far
-        (blog scheduler BLOG_PART2.md:992-1015)."""
+        (blog scheduler BLOG_PART2.md:992-1015).  Resume recomputes prompt
+        AND kept outputs as catch-up chunks (``needs_catchup``)."""
         self.status = RequestStatus.PREEMPTED
         self.num_computed_tokens = 0
         self.block_ids = []
         self.num_cached_blocks = 0
+        self.swapped_pages = None
+        self.num_swapped_tokens = 0
+
+    def preempt_swapped(self, pages, num_tokens: int) -> None:
+        """SWAP-mode preemption: computed KV (full blocks only) survives on
+        the host; progress truncates to the swapped boundary instead of zero
+        (BLOG_PART3_V2.md:1589-1625)."""
+        self.status = RequestStatus.PREEMPTED
+        self.num_computed_tokens = num_tokens
+        self.block_ids = []
+        self.num_cached_blocks = 0
+        self.swapped_pages = pages
+        self.num_swapped_tokens = num_tokens

@@ -41,18 +41,27 @@ class ScheduledRequest:
     num_new_tokens: int          # tokens computed this step (1 for decode)
     start_pos: int               # num_computed_tokens at schedule time
     slots: List[int] = field(default_factory=list)  # flat physical slots
+    # Sampling threshold: positions below it carry KNOWN tokens (prompt, or
+    # outputs kept across a preemption being recomputed); only the step that
+    # computes THROUGH it samples a new token.  Pinned at schedule time
+    # (num_tokens grows as outputs append).  0 => legacy prompt threshold.
+    target: int = 0
+
+    @property
+    def _threshold(self) -> int:
+        return self.target or self.request.num_prompt_tokens
 
     @property
     def is_decode(self) -> bool:
         return self.num_new_tokens == 1 and not (
-            self.start_pos + 1 < self.request.num_prompt_tokens
+            self.start_pos + 1 < self._threshold
         )
 
     @property
     def produces_token(self) -> bool:
-        """True when this step computes through the last prompt token (or is
+        """True when this step computes through the last KNOWN token (or is
         a decode) so the step's logits yield a real sampled token."""
-        return self.start_pos + self.num_new_tokens >= self.request.num_prompt_tokens
+        return self.start_pos + self.num_new_tokens >= self._threshold
 
 
 @dataclass
@@ -60,6 +69,8 @@ class SchedulerStats:
     num_preempted: int = 0
     num_scheduled_steps: int = 0
     num_scheduled_tokens: int = 0
+    num_swapped_out: int = 0     # SWAP-mode preemptions (KV kept on host)
+    num_swapped_in: int = 0      # swap restores at re-admission
 
 
 class Scheduler:
@@ -85,6 +96,11 @@ class Scheduler:
         # preempted (their in-flight step writes their blocks) and their
         # block hashes must not extend over the placeholder.
         self._inflight: set = set()
+        # SWAP-mode preemption backend (the engine): swap_out(req) -> bool
+        # copies the victim's full blocks to host memory before the free;
+        # swap_in(req) -> bool restores them into fresh device blocks.
+        # None (or preemption_mode="recompute") => recompute-only.
+        self.swapper = None
 
     # ---- queue ops ---------------------------------------------------------
 
@@ -120,6 +136,20 @@ class Scheduler:
 
     # ---- preemption ---------------------------------------------------------
 
+    def _do_preempt(self, victim: Request) -> None:
+        """Evict one running request's KV.  preemption_mode="swap" copies
+        the victim's computed full blocks to host memory first (vLLM V1's
+        SWAP mode, BLOG_PART3_V2.md:1589-1625) so resumption re-injects
+        instead of re-prefilling; "recompute" (default) drops progress.
+        Either way the device blocks free and the victim rejoins waiting."""
+        if (self.config.preemption_mode == "swap" and self.swapper is not None
+                and self.swapper.swap_out(victim)):
+            self.stats.num_swapped_out += 1
+        else:
+            self.kv.free(victim)
+            victim.preempt()
+        self.stats.num_preempted += 1
+
     def _preempt_one(self, exclude: Request, protected: set) -> bool:
         """Free the lowest-priority / latest-arrival running request.
 
@@ -134,10 +164,8 @@ class Scheduler:
             return False
         victim = max(candidates, key=lambda r: (r.priority, r.arrival_time, r.req_id))
         self.running.remove(victim)
-        self.kv.free(victim)
-        victim.preempt()
+        self._do_preempt(victim)
         self.waiting.insert(0, victim)
-        self.stats.num_preempted += 1
         return True
 
     def _allocate_with_preemption(
@@ -210,9 +238,13 @@ class Scheduler:
                     if self.connector.poll(req) is not None:
                         req.status = RequestStatus.WAITING
 
-        # Phase 1: running decodes — one token each.
+        # Phase 1: running decodes — one token each.  needs_catchup filters
+        # preemption-resumed requests still recomputing their kept outputs
+        # (they chunk in Phase 2; sampling from an un-caught-up position
+        # would restart the sequence mid-stream).
         for req in list(self.running):
-            if req.is_prefill or budget <= 0 or req.status is not RequestStatus.RUNNING:
+            if (req.is_prefill or req.needs_catchup or budget <= 0
+                    or req.status is not RequestStatus.RUNNING):
                 continue
             # Async scheduling: a request whose max_new_tokens-th token is a
             # still-unsynced placeholder will finish at commit — don't grant
@@ -222,31 +254,34 @@ class Scheduler:
             if self._allocate_with_preemption(req, 1, protected) is None:
                 # Could not make room even with preemption: preempt req itself.
                 self.running.remove(req)
-                self.kv.free(req)
-                req.preempt()
+                self._do_preempt(req)
                 preempted_now.append(req)
-                self.stats.num_preempted += 1
                 continue
-            item = ScheduledRequest(req, 1, req.num_computed_tokens)
+            item = ScheduledRequest(req, 1, req.num_computed_tokens,
+                                    target=req.num_tokens)
             item.slots = self.kv.slot_mapping(req, item.start_pos, 1)
             scheduled.append(item)
             protected.add(req.req_id)
             budget -= 1
 
-        # Phase 2: running prefills — next chunk.
+        # Phase 2: running prefills — next chunk.  Catch-up of a resumed
+        # request's kept outputs chunks here too (remaining spans prompt AND
+        # outputs; the chunk reaching num_tokens samples the next NEW token,
+        # exactly like prefill's last chunk samples the first).
         for req in list(self.running):
-            if (not req.is_prefill or budget <= 0
+            if ((not req.is_prefill and not req.needs_catchup) or budget <= 0
                     or req.status is not RequestStatus.RUNNING
                     or req.req_id in protected):
                 continue
-            remaining = req.num_prompt_tokens - req.num_computed_tokens
+            remaining = req.num_tokens - req.num_computed_tokens
             chunk = min(remaining, budget) if self.config.enable_chunked_prefill else remaining
             chunk = cap_chunk(remaining, chunk)
             if chunk <= 0 or chunk > budget or not partial_prefill_ok(remaining, chunk):
                 continue
             if self._allocate_with_preemption(req, chunk, protected) is None:
                 continue
-            item = ScheduledRequest(req, chunk, req.num_computed_tokens)
+            item = ScheduledRequest(req, chunk, req.num_computed_tokens,
+                                    target=req.num_tokens)
             item.slots = self.kv.slot_mapping(req, item.start_pos, chunk)
             scheduled.append(item)
             protected.add(req.req_id)
@@ -272,6 +307,17 @@ class Scheduler:
                     req.status = RequestStatus.WAITING_FOR_REMOTE_KVS
                     idx += 1
                     continue
+            # SWAP-mode resume: re-inject the victim's host-resident pages
+            # into fresh device blocks before anything else schedules for it.
+            if req.swapped_pages is not None:
+                if self.swapper is not None and self.swapper.swap_in(req):
+                    self.stats.num_swapped_in += 1
+                elif self.running:
+                    break  # pool still tight: wait for frees (FCFS)
+                else:
+                    # Nothing left to free — the swap can never fit (e.g.
+                    # the pool shrank): fall back to recompute-from-zero.
+                    req.preempt()
             # Prefix-cache lookup on first computation only.
             hits: List[int] = []
             if req.num_computed_tokens == 0 and not req.block_ids:
@@ -280,7 +326,9 @@ class Scheduler:
                     req.block_ids = list(hits)
                     req.num_computed_tokens = n_cached
                     req.num_cached_blocks = len(hits)
-            remaining = req.num_prompt_tokens - req.num_computed_tokens
+            # remaining spans prompt AND any outputs kept across preemption
+            # (catch-up); for fresh requests num_tokens == num_prompt_tokens.
+            remaining = req.num_tokens - req.num_computed_tokens
             chunk = min(remaining, budget) if self.config.enable_chunked_prefill else remaining
             chunk = cap_chunk(remaining, chunk)
             if chunk <= 0:
@@ -302,7 +350,8 @@ class Scheduler:
             self.waiting.pop(idx)
             req.status = RequestStatus.RUNNING
             self.running.append(req)
-            item = ScheduledRequest(req, chunk, req.num_computed_tokens)
+            item = ScheduledRequest(req, chunk, req.num_computed_tokens,
+                                    target=req.num_tokens)
             item.slots = self.kv.slot_mapping(req, item.start_pos, chunk)
             scheduled.append(item)
             protected.add(req.req_id)
