@@ -510,6 +510,57 @@ class TestContextParallelServing:
         out = cp.generate([prompt], sp)
         assert list(out.values()) == list(oracle.generate([prompt], sp).values())
 
+    # ---- paged ring attention (ParallelConfig.cp_attn="ring") ----------
+    # The reference's npu_ring_mla (BLOG_PART3_V2.md:676-681) as a
+    # selectable serving path: prefill-chunk queries split T/cp per rank
+    # and the INT8 page-slices rotate around the ring via ppermute; decode
+    # keeps the flash merge.  Contract: identical greedy outputs.
+
+    def test_ring_cp4_matches_single_device(self):
+        prompts = [list(range(1, 101)), [5, 6, 7]]
+        base = LLMEngine(self._mla_cfg()).generate(prompts, GREEDY)
+        ring = LLMEngine(self._mla_cfg(
+            ParallelConfig(cp_size=4, cp_attn="ring"))).generate(
+            prompts, GREEDY)
+        assert list(base.values()) == list(ring.values())
+
+    def test_ring_cp4_int8_latents_match(self):
+        """The ring rotates the INT8 latent pages + scales as stored."""
+        prompts = [list(range(1, 80))]
+        base = LLMEngine(self._mla_cfg(kv_quant="int8")).generate(
+            prompts, GREEDY)
+        ring = LLMEngine(self._mla_cfg(
+            ParallelConfig(cp_size=4, cp_attn="ring"),
+            kv_quant="int8")).generate(prompts, GREEDY)
+        assert list(base.values()) == list(ring.values())
+
+    def test_ring_cp_serves_beyond_single_chip_budget(self):
+        """Ring CP preserves the capacity contract: a 200-token prompt a
+        single chip of the same pool cannot hold still serves exactly."""
+        prompt = list(range(1, 201))
+        sp = SamplingParams(max_new_tokens=6, temperature=0.0,
+                            ignore_eos=True)
+        cp = LLMEngine(self._mla_cfg(
+            ParallelConfig(cp_size=4, cp_attn="ring"), num_blocks=8))
+        assert cp.block_size == 64
+        oracle = LLMEngine(self._mla_cfg(num_blocks=64))
+        out = cp.generate([prompt], sp)
+        assert list(out.values()) == list(
+            oracle.generate([prompt], sp).values())
+
+    def test_ring_gqa_cp4_int8_kv(self):
+        """GQA ring: INT8 K/V page-slices + per-slot scales rotate; grouped
+        heads (Hq=4, Hkv=2)."""
+        prompts = [list(range(1, 80))]
+        base = LLMEngine(
+            self._gqa_cfg(kv_quant="int8", num_kv_heads=2)
+        ).generate(prompts, GREEDY)
+        ring = LLMEngine(
+            self._gqa_cfg(ParallelConfig(cp_size=4, cp_attn="ring"),
+                          kv_quant="int8", num_kv_heads=2)
+        ).generate(prompts, GREEDY)
+        assert list(base.values()) == list(ring.values())
+
     def test_gqa_cp2_tp2_matches_single_device(self):
         """cp x tp for GQA: kv-heads shard over tp inside each cp rank."""
         prompts = [list(range(1, 101))]

@@ -149,6 +149,18 @@ class ParallelConfig:
     # memory / chip divided by tp at the cost of two psums per layer —
     # PAPERS.md "TPLA: Tensor Parallel Latent Attention").
     mla_kv: str = "replicated"
+    # CP attention form (parallel/cp_serving.py):
+    # - "merge" (default): each rank attends its local 1/cp of the context
+    #   and partials flash-merge with one pmax + two psums over ICI — the
+    #   optimal decode form (traffic = one accumulator, independent of S).
+    # - "ring": paged ring attention (the reference's npu_ring_mla,
+    #   BLOG_PART3_V2.md:676-681) for prefill/catch-up chunks — queries
+    #   split T/cp per rank and the INT8 page-slices rotate around the ICI
+    #   ring via ppermute, so per-round score blocks are cp x smaller
+    #   (activation working set for very long chunks) and the KV bytes on
+    #   the wire are INT8, not f32 accumulators.  Decode steps (T=1 cannot
+    #   sequence-shard) keep the merge form.
+    cp_attn: str = "merge"
     # EPLB (BLOG_PART3_V2.md:185-187; parallel/eplb.py): every
     # ``eplb_interval`` engine steps, re-pack experts onto ranks by measured
     # router load and permute the weight stacks between steps.  0 = off.

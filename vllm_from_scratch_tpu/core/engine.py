@@ -173,6 +173,7 @@ class LLMEngine:
         mesh = self.mesh
         ep_dispatch = config.parallel.ep_dispatch
         mla_kv = config.parallel.mla_kv
+        cp_attn = config.parallel.cp_attn
         use_pp = mesh is not None and "pp" in mesh.shape
         eplb_on = self._eplb_on
         _no_counts = jnp.zeros((0,), jnp.int32)
@@ -189,11 +190,12 @@ class LLMEngine:
                 from ..parallel.pp import pipeline_forward
 
                 return pipeline_forward(
-                    params, cache, batch, mcfg, mesh, block_size=ccfg.block_size
+                    params, cache, batch, mcfg, mesh,
+                    block_size=ccfg.block_size, cp_attn=cp_attn,
                 )
             return transformer.forward(
                 params, cache, batch, mcfg, block_size=ccfg.block_size, mesh=mesh,
-                ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                ep_dispatch=ep_dispatch, mla_kv=mla_kv, cp_attn=cp_attn,
             )
 
         def _fwd_counting(params, cache, batch):
@@ -206,11 +208,12 @@ class LLMEngine:
 
                 return pipeline_forward(
                     params, cache, batch, mcfg, mesh,
-                    block_size=ccfg.block_size, collect_expert_counts=True,
+                    block_size=ccfg.block_size, cp_attn=cp_attn,
+                    collect_expert_counts=True,
                 )
             return transformer.forward(
                 params, cache, batch, mcfg, block_size=ccfg.block_size, mesh=mesh,
-                ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                ep_dispatch=ep_dispatch, mla_kv=mla_kv, cp_attn=cp_attn,
                 collect_expert_counts=True,
             )
 
@@ -278,12 +281,13 @@ class LLMEngine:
             if eplb_on:
                 lp, ld, cache, counts = transformer.forward_mixed(
                     params, cache, bp, bd, mcfg, block_size=ccfg.block_size,
-                    mesh=mesh, ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                    mesh=mesh, ep_dispatch=ep_dispatch, mla_kv=mla_kv, cp_attn=cp_attn,
                     collect_expert_counts=True)
             else:
                 lp, ld, cache = transformer.forward_mixed(
                     params, cache, bp, bd, mcfg, block_size=ccfg.block_size,
-                    mesh=mesh, ep_dispatch=ep_dispatch, mla_kv=mla_kv)
+                    mesh=mesh, ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                    cp_attn=cp_attn)
                 counts = _no_counts
             tokens = sample(jnp.concatenate([lp, ld], axis=0), sstate, skey,
                             mode)
@@ -404,12 +408,13 @@ class LLMEngine:
             if eplb_on:
                 lp, ld, cache, counts0 = transformer.forward_mixed(
                     params, cache, bp, bd0, mcfg, block_size=ccfg.block_size,
-                    mesh=mesh, ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                    mesh=mesh, ep_dispatch=ep_dispatch, mla_kv=mla_kv, cp_attn=cp_attn,
                     collect_expert_counts=True)
             else:
                 lp, ld, cache = transformer.forward_mixed(
                     params, cache, bp, bd0, mcfg, block_size=ccfg.block_size,
-                    mesh=mesh, ep_dispatch=ep_dispatch, mla_kv=mla_kv)
+                    mesh=mesh, ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                    cp_attn=cp_attn)
                 counts0 = _no_counts
             tok_full0 = sample(jnp.concatenate([lp, ld], axis=0), sstate,
                                jax.random.fold_in(skey, 0), mode)
@@ -476,12 +481,12 @@ class LLMEngine:
 
                     all_logits, ct = pipeline_forward(
                         pt, ct, b, mcfg, mesh, block_size=ccfg.block_size,
-                        return_all_logits=True,
+                        cp_attn=cp_attn, return_all_logits=True,
                     )
                 else:
                     all_logits, ct = transformer.forward(
                         pt, ct, b, mcfg, block_size=ccfg.block_size, mesh=mesh,
-                        ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                        ep_dispatch=ep_dispatch, mla_kv=mla_kv, cp_attn=cp_attn,
                         return_all_logits=True,
                     )
                 target_probs = filtered_probs(all_logits, sstate)
@@ -568,12 +573,12 @@ class LLMEngine:
 
                     all_logits, ct = pipeline_forward(
                         pt, ct, b, mcfg, mesh, block_size=ccfg.block_size,
-                        return_all_logits=True,
+                        cp_attn=cp_attn, return_all_logits=True,
                     )                                      # [B, K+1, V]
                 else:
                     all_logits, ct = transformer.forward(
                         pt, ct, b, mcfg, block_size=ccfg.block_size, mesh=mesh,
-                        ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+                        ep_dispatch=ep_dispatch, mla_kv=mla_kv, cp_attn=cp_attn,
                         return_all_logits=True,
                     )                                      # [B, K+1, V]
                 target_probs = filtered_probs(all_logits, sstate)

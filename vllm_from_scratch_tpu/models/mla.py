@@ -81,6 +81,7 @@ def mla_attention_block(
     allow_pallas: bool = True,
     mesh=None,
     cp_manual: int = 0,
+    cp_attn: str = "merge",
 ) -> Tuple[jax.Array, MLACache]:
     """Pre-norm MLA attention with paged latent KV read/write.
 
@@ -126,6 +127,7 @@ def mla_attention_block(
             batch.block_tables, batch.ctx_lens, batch.q_lens,
             w_uk, w_uv, cp_size=cp_manual,
             block_size=block_size, sm_scale=(dn + dr) ** -0.5,
+            variant=cp_attn,
         )
         return (mm(out.astype(h.dtype).reshape(B, T, nh * dv), layer["wo"]),
                 cache_l)
@@ -139,6 +141,7 @@ def mla_attention_block(
             batch.block_tables, batch.ctx_lens, batch.q_lens,
             w_uk, w_uv, mesh,
             block_size=block_size, sm_scale=(dn + dr) ** -0.5,
+            variant=cp_attn,
         )
         return mm(out.astype(h.dtype).reshape(B, T, nh * dv), layer["wo"]), cache_l
 

@@ -166,6 +166,7 @@ def forward(
     mesh=None,
     ep_dispatch: str = "psum",
     mla_kv: str = "replicated",
+    cp_attn: str = "merge",
     return_all_logits: bool = False,
     collect_expert_counts: bool = False,
 ):
@@ -189,7 +190,7 @@ def forward(
         fuse_projections(params["layers"], cfg), cfg)
     layer_step = make_layer_step(
         batch, cfg, params["rope"], block_size=block_size, mesh=mesh,
-        ep_dispatch=ep_dispatch, mla_kv=mla_kv,
+        ep_dispatch=ep_dispatch, mla_kv=mla_kv, cp_attn=cp_attn,
         collect_counts=collect_expert_counts, moe_stacks=moe_stacks,
     )
 
@@ -269,7 +270,8 @@ def split_moe_stacks(layers: dict, cfg: ModelConfig):
 
 def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
                     block_size: int, mesh=None, ep_dispatch: str = "psum",
-                    mla_kv: str = "replicated", collect_counts: bool = False,
+                    mla_kv: str = "replicated", cp_attn: str = "merge",
+                    collect_counts: bool = False,
                     moe_stacks=None, cp_manual: int = 0):
     """The per-layer scan body, reusable by forward() and the pipeline-
     parallel runner (parallel/pp.py) which scans each stage's layer slice.
@@ -286,11 +288,11 @@ def make_layer_step(batch: ModelBatch, cfg: ModelConfig, rope, *,
             a, cache_l = mla_mod.mla_attention_block(
                 layer, cache_l, h, batch, cfg, rope, block_size=block_size,
                 allow_pallas=(mla_kv != "tpla"), mesh=mesh,
-                cp_manual=cp_manual,
+                cp_manual=cp_manual, cp_attn=cp_attn,
             )
         else:
             a, cache_l = _attn(layer, cache_l, h, batch, cfg, rope, block_size,
-                               mesh=mesh, cp_manual=cp_manual)
+                               mesh=mesh, cp_manual=cp_manual, cp_attn=cp_attn)
         h = h + a
         h, counts_l = _ffn_block(layer, h, cfg, mesh=mesh,
                                  ep_dispatch=ep_dispatch,
@@ -367,6 +369,7 @@ def forward_mixed(
     mesh=None,
     ep_dispatch: str = "psum",
     mla_kv: str = "replicated",
+    cp_attn: str = "merge",
     collect_expert_counts: bool = False,
 ):
     """ONE mixed prefill+decode step (VERDICT r2 #3, the "ragged" step).
@@ -394,8 +397,9 @@ def forward_mixed(
         hp, hd = carry
         layer, cache_l, li = xs
         attn = mla_mod.mla_attention_block if cfg.is_mla else _attn
-        kw = (dict(allow_pallas=(mla_kv != "tpla"), mesh=mesh)
-              if cfg.is_mla else dict(mesh=mesh))
+        kw = (dict(allow_pallas=(mla_kv != "tpla"), mesh=mesh,
+                   cp_attn=cp_attn)
+              if cfg.is_mla else dict(mesh=mesh, cp_attn=cp_attn))
         a_p, cache_l = attn(layer, cache_l, hp, batch_p, cfg, params["rope"],
                             block_size=block_size, **kw)
         a_d, cache_l = attn(layer, cache_l, hd, batch_d, cfg, params["rope"],
@@ -434,7 +438,7 @@ def forward_mixed(
 
 
 def _attn(layer, cache_l, h, batch, cfg, rope, block_size, mesh=None,
-          cp_manual: int = 0):
+          cp_manual: int = 0, cp_attn: str = "merge"):
     """Pre-norm attention block with paged KV read/write.
 
     When ``mesh`` carries a "cp" axis the write+attend runs context-parallel
@@ -463,6 +467,7 @@ def _attn(layer, cache_l, h, batch, cfg, rope, block_size, mesh=None,
             cache_l, batch.slots.reshape(B * T),
             batch.block_tables, batch.ctx_lens, batch.q_lens,
             cp_size=cp_manual, block_size=block_size, sm_scale=D ** -0.5,
+            variant=cp_attn,
         )
         return (mm(out.astype(h.dtype).reshape(B, T, Hq * D), layer["wo"]),
                 cache_l)
@@ -473,7 +478,7 @@ def _attn(layer, cache_l, h, batch, cfg, rope, block_size, mesh=None,
             q, k.reshape(B * T, Hkv, D), v.reshape(B * T, Hkv, D),
             cache_l, batch.slots.reshape(B * T),
             batch.block_tables, batch.ctx_lens, batch.q_lens, mesh,
-            block_size=block_size, sm_scale=D ** -0.5,
+            block_size=block_size, sm_scale=D ** -0.5, variant=cp_attn,
         )
         return (mm(out.astype(h.dtype).reshape(B, T, Hq * D), layer["wo"]),
                 cache_l)

@@ -52,13 +52,15 @@ def cp_virtual_block_size(block_size: int, cp_size: int) -> int:
 
 
 def _mla_cp_body(qn, qr, cn, krn, cache, slots, bt, ctx, ql, w_uk, w_uv, *,
-                 axis, n, bs, sm_scale, dp=None):
+                 axis, n, bs, sm_scale, dp=None, ring=False):
     """Per-cp-rank write-then-attend body (MLA latent cache).
 
     Runs INSIDE a manual region where ``axis`` is a manual mesh axis —
     either cp_mla_attention's own shard_map or an enclosing one (the
     pipeline runner composes cp with pp by calling this directly,
-    parallel/pp.py).  ``n`` = cp size, ``bs`` = PHYSICAL block size."""
+    parallel/pp.py).  ``n`` = cp size, ``bs`` = PHYSICAL block size.
+    ``ring=True`` selects paged ring attention for chunks (see
+    ParallelConfig.cp_attn); decode (T=1) always flash-merges."""
     Vbs = bs * n
     me = jax.lax.axis_index(axis)
     T = qn.shape[1]
@@ -81,6 +83,10 @@ def _mla_cp_body(qn, qr, cn, krn, cache, slots, bt, ctx, ql, w_uk, w_uv, *,
     Bl, N = bt.shape                    # per-dp-shard batch rows
     offs = jnp.arange(bs, dtype=bt.dtype)
     slot_idx = (bt[:, :, None] * bs + offs).reshape(Bl, N * bs)
+    if ring and T % n == 0 and T >= n:
+        return _mla_ring_attend(qn, qr, cache, slot_idx, ctx, ql, w_uk, w_uv,
+                                axis=axis, n=n, bs=bs, me=me, Vbs=Vbs, N=N,
+                                offs=offs, sm_scale=sm_scale)
     # Global token position of local row (col j, off o): j*Vbs + me*bs + o.
     kv_pos = (
         jnp.arange(N, dtype=jnp.int32)[:, None] * Vbs + me * bs + offs[None, :]
@@ -123,8 +129,158 @@ def _mla_cp_body(qn, qr, cn, krn, cache, slots, bt, ctx, ql, w_uk, w_uv, *,
     return out, cache
 
 
+def _mla_ring_attend(qn, qr, cache, slot_idx, ctx, ql, w_uk, w_uv, *,
+                     axis, n, bs, me, Vbs, N, offs, sm_scale):
+    """Paged ring attention over the cp-sharded MLA latent cache — the
+    reference's ``npu_ring_mla`` for ">HBM sequences"
+    (BLOG_PART3_V2.md:676-681), TPU-natively:
+
+    - The chunk's T queries split T/n per rank (queries arrive replicated
+      over cp, so the split is a local slice; outputs all_gather back).
+    - Each rank's local page-slice — INT8 latents + rope keys + scales,
+      exactly as they sit in the paged cache — rotates around the ICI ring
+      via ``ppermute``; a flash online-softmax accumulator merges rounds.
+    - vs the default flash merge: per-round score blocks are [T/n, S/n]
+      instead of [T, S/n] (n x smaller live working set for huge chunks)
+      and the wire carries INT8 pages instead of f32 accumulators; n-1
+      rounds pipeline with compute via XLA async collectives.
+
+    Exact (same masks/ctx bounds as the merge path); returns
+    (out [B, T, H, dv] f32 — replicated over cp, updated-cache passthrough
+    happens in the caller)."""
+    Bl = slot_idx.shape[0]
+    T = qn.shape[1]
+    Tl = T // n
+    qsl = jax.lax.dynamic_slice_in_dim(
+        qn.astype(jnp.float32), me * Tl, Tl, axis=1)
+    q_l = jnp.einsum("bthd,hdr->bthr", qsl, w_uk.astype(jnp.float32))
+    qrl = jax.lax.dynamic_slice_in_dim(
+        qr.astype(jnp.float32), me * Tl, Tl, axis=1)
+    q_pos = ((ctx - ql)[:, None] + me * Tl
+             + jnp.arange(Tl, dtype=jnp.int32)[None, :])      # [B, Tl]
+
+    c_loc = jnp.take(cache.c, slot_idx, axis=0, mode="clip")
+    kr_loc = jnp.take(cache.kr, slot_idx, axis=0, mode="clip")
+    if cache.quantized:
+        cs_loc = jnp.take(cache.c_scale, slot_idx, axis=0, mode="clip")
+        ks_loc = jnp.take(cache.kr_scale, slot_idx, axis=0, mode="clip")
+    else:
+        cs_loc = jnp.ones(slot_idx.shape, jnp.float32)
+        ks_loc = cs_loc
+    # Local row (col j, off o) of the slice from rank src sits at global
+    # position j*Vbs + src*bs + o (the interleaved split).
+    kv_base = (jnp.arange(N, dtype=jnp.int32)[:, None] * Vbs
+               + offs[None, :]).reshape(N * bs)
+
+    perm = [(j, (j + 1) % n) for j in range(n)]
+    H = qn.shape[2]
+
+    def step(carry, i):
+        c_cur, kr_cur, cs_cur, ks_cur, m, l, acc = carry
+        src = (me - i) % n          # after i rotations we hold src's slice
+        kv_pos = (kv_base + src * bs)[None, None, :]          # [1, 1, S_l]
+        cf = c_cur.astype(jnp.float32)
+        s = (jnp.einsum("bthr,bsr->bhts", q_l, cf)
+             * cs_cur[:, None, None, :]
+             + jnp.einsum("bthd,bsd->bhts", qrl,
+                          kr_cur.astype(jnp.float32))
+             * ks_cur[:, None, None, :]) * sm_scale           # [B,H,Tl,S_l]
+        mask = (kv_pos <= q_pos[:, :, None]) & (kv_pos < ctx[:, None, None])
+        mask_b = mask[:, None]
+        s = jnp.where(mask_b, s, _NEG)
+        mi = jnp.maximum(jnp.max(s, axis=-1), _NEG)           # [B, H, Tl]
+        ei = jnp.where(mask_b, jnp.exp(s - mi[..., None]), 0.0)
+        li = jnp.sum(ei, axis=-1)
+        acci = jnp.einsum("bhts,bsr->bthr",
+                          ei * cs_cur[:, None, None, :], cf)  # [B,Tl,H,r]
+        m_new = jnp.maximum(m, mi)
+        a = jnp.exp(m - m_new)
+        b = jnp.exp(mi - m_new)
+        l2 = l * a + li * b
+        acc2 = (acc * a.transpose(0, 2, 1)[..., None]
+                + acci * b.transpose(0, 2, 1)[..., None])
+        rot = tuple(jax.lax.ppermute(x, axis, perm)
+                    for x in (c_cur, kr_cur, cs_cur, ks_cur))
+        return (*rot, m_new, l2, acc2), None
+
+    r = cache.c.shape[-1]
+    m0 = jnp.full((Bl, H, Tl), _NEG, jnp.float32)
+    l0 = jnp.zeros((Bl, H, Tl), jnp.float32)
+    acc0 = jnp.zeros((Bl, Tl, H, r), jnp.float32)
+    (_, _, _, _, m, l, acc), _ = jax.lax.scan(
+        step, (c_loc, kr_loc, cs_loc, ks_loc, m0, l0, acc0),
+        jnp.arange(n))
+    latent = acc / jnp.maximum(l, _EPS).transpose(0, 2, 1)[..., None]
+    out_l = jnp.einsum("bthr,hrv->bthv", latent, w_uv.astype(jnp.float32))
+    out = jax.lax.all_gather(out_l, axis, axis=1, tiled=True)  # [B, T, H, dv]
+    return out, cache
+
+
+def _gqa_ring_attend(q, cache, slot_idx, ctx, ql, *,
+                     axis, n, bs, me, Vbs, N, offs, sm_scale):
+    """Paged ring attention over the cp-sharded GQA K/V cache; same design
+    as ``_mla_ring_attend`` (INT8 K/V page-slices + per-slot scales rotate,
+    T/n queries per rank, flash-merged rounds)."""
+    Bl = slot_idx.shape[0]
+    T = q.shape[1]
+    Tl = T // n
+    Hkv = cache.k.shape[1]
+    G = q.shape[2] // Hkv
+    D = q.shape[3]
+    qf = jax.lax.dynamic_slice_in_dim(
+        q.astype(jnp.float32), me * Tl, Tl, axis=1
+    ).reshape(Bl, Tl, Hkv, G, D)
+    q_pos = ((ctx - ql)[:, None] + me * Tl
+             + jnp.arange(Tl, dtype=jnp.int32)[None, :])      # [B, Tl]
+
+    k_loc = jnp.take(cache.k, slot_idx, axis=0, mode="clip")  # [Bl,S_l,Hkv,D]
+    v_loc = jnp.take(cache.v, slot_idx, axis=0, mode="clip")
+    if cache.quantized:
+        ks_loc = jnp.take(cache.k_scale, slot_idx, axis=0, mode="clip")
+        vs_loc = jnp.take(cache.v_scale, slot_idx, axis=0, mode="clip")
+    else:
+        ones = jnp.ones(slot_idx.shape + (Hkv,), jnp.float32)
+        ks_loc, vs_loc = ones, ones
+    kv_base = (jnp.arange(N, dtype=jnp.int32)[:, None] * Vbs
+               + offs[None, :]).reshape(N * bs)
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    def step(carry, i):
+        k_cur, v_cur, ks_cur, vs_cur, m, l, acc = carry
+        src = (me - i) % n
+        kv_pos = (kv_base + src * bs)[None, None, None, :]    # [1,1,1,S_l]
+        s = jnp.einsum("btkgd,bskd->bkgts", qf, k_cur.astype(jnp.float32))
+        s = s * ks_cur.transpose(0, 2, 1)[:, :, None, None, :] * sm_scale
+        mask = ((kv_pos <= q_pos[:, None, None, :, None])
+                & (kv_pos < ctx[:, None, None, None, None]))  # [B,1,1,Tl,S_l]
+        s = jnp.where(mask, s, _NEG)
+        mi = jnp.maximum(jnp.max(s, axis=-1), _NEG)           # [B,Hkv,G,Tl]
+        ei = jnp.where(mask, jnp.exp(s - mi[..., None]), 0.0)
+        li = jnp.sum(ei, axis=-1)
+        ev = ei * vs_cur.transpose(0, 2, 1)[:, :, None, None, :]
+        acci = jnp.einsum("bkgts,bskd->bkgtd", ev, v_cur.astype(jnp.float32))
+        m_new = jnp.maximum(m, mi)
+        a = jnp.exp(m - m_new)
+        b = jnp.exp(mi - m_new)
+        l2 = l * a + li * b
+        acc2 = acc * a[..., None] + acci * b[..., None]
+        rot = tuple(jax.lax.ppermute(x, axis, perm)
+                    for x in (k_cur, v_cur, ks_cur, vs_cur))
+        return (*rot, m_new, l2, acc2), None
+
+    m0 = jnp.full((Bl, Hkv, G, Tl), _NEG, jnp.float32)
+    l0 = jnp.zeros((Bl, Hkv, G, Tl), jnp.float32)
+    acc0 = jnp.zeros((Bl, Hkv, G, Tl, D), jnp.float32)
+    (_, _, _, _, m, l, acc), _ = jax.lax.scan(
+        step, (k_loc, v_loc, ks_loc, vs_loc, m0, l0, acc0), jnp.arange(n))
+    out = acc / jnp.maximum(l, _EPS)[..., None]               # [Bl,Hkv,G,Tl,D]
+    out_l = out.transpose(0, 3, 1, 2, 4).reshape(Bl, Tl, -1, D)
+    out = jax.lax.all_gather(out_l, axis, axis=1, tiled=True)  # [B, T, Hq, D]
+    return out, cache
+
+
 def _gqa_cp_body(q, kn, vn, cache, slots, bt, ctx, ql, *,
-                 axis, n, bs, sm_scale, dp=None):
+                 axis, n, bs, sm_scale, dp=None, ring=False):
     """Per-cp-rank write-then-attend body (paged GQA K/V cache); see
     ``_mla_cp_body`` for the manual-region contract."""
     Vbs = bs * n
@@ -148,6 +304,10 @@ def _gqa_cp_body(q, kn, vn, cache, slots, bt, ctx, ql, *,
     Bl, N = bt.shape                    # per-dp-shard batch rows
     offs = jnp.arange(bs, dtype=bt.dtype)
     slot_idx = (bt[:, :, None] * bs + offs).reshape(Bl, N * bs)
+    if ring and T % n == 0 and T >= n:
+        return _gqa_ring_attend(q, cache, slot_idx, ctx, ql,
+                                axis=axis, n=n, bs=bs, me=me, Vbs=Vbs, N=N,
+                                offs=offs, sm_scale=sm_scale)
     kv_pos = (
         jnp.arange(N, dtype=jnp.int32)[:, None] * Vbs + me * bs
         + offs[None, :]
@@ -190,7 +350,7 @@ def _gqa_cp_body(q, kn, vn, cache, slots, bt, ctx, ql, *,
 def cp_mla_attention_manual(q_nope, q_rope, c_new, kr_new, cache_l, slots,
                             block_tables, ctx_lens, q_lens, w_uk, w_uv, *,
                             cp_size: int, block_size: int, sm_scale: float,
-                            axis: str = "cp"):
+                            axis: str = "cp", variant: str = "merge"):
     """cp_mla_attention for callers ALREADY inside a manual region over
     ``axis`` (the pipeline runner: pp x cp composition).  Operands are
     per-rank shards: the cache's slot axis is the local 1/cp; everything
@@ -198,18 +358,19 @@ def cp_mla_attention_manual(q_nope, q_rope, c_new, kr_new, cache_l, slots,
     return _mla_cp_body(q_nope, q_rope, c_new, kr_new, cache_l, slots,
                         block_tables, ctx_lens, q_lens, w_uk, w_uv,
                         axis=axis, n=cp_size, bs=block_size,
-                        sm_scale=sm_scale)
+                        sm_scale=sm_scale, ring=(variant == "ring"))
 
 
 def cp_gqa_attention_manual(q, k_new, v_new, cache_l, slots, block_tables,
                             ctx_lens, q_lens, *, cp_size: int,
                             block_size: int, sm_scale: float,
-                            axis: str = "cp"):
+                            axis: str = "cp", variant: str = "merge"):
     """cp_gqa_attention for callers already inside a manual region (pp x cp
     composition); see ``cp_mla_attention_manual``."""
     return _gqa_cp_body(q, k_new, v_new, cache_l, slots, block_tables,
                         ctx_lens, q_lens, axis=axis, n=cp_size,
-                        bs=block_size, sm_scale=sm_scale)
+                        bs=block_size, sm_scale=sm_scale,
+                        ring=(variant == "ring"))
 
 
 def cp_mla_attention(
@@ -229,6 +390,7 @@ def cp_mla_attention(
     block_size: int,          # PHYSICAL per-rank block size
     sm_scale: float,
     axis: str = "cp",
+    variant: str = "merge",   # "ring" = paged ring attention for chunks
 ) -> Tuple[jax.Array, MLACache]:
     """Write-then-attend over the cp-sharded latent cache.
 
@@ -240,7 +402,8 @@ def cp_mla_attention(
     def local(qn, qr, cn, krn, cache, slots, bt, ctx, ql, w_uk, w_uv):
         return _mla_cp_body(qn, qr, cn, krn, cache, slots, bt, ctx, ql,
                             w_uk, w_uv, axis=axis, n=n, bs=bs,
-                            sm_scale=sm_scale, dp=dp)
+                            sm_scale=sm_scale, dp=dp,
+                            ring=(variant == "ring"))
 
     cache_spec = MLACache(c=P(axis, None), kr=P(axis, None),
                           c_scale=P(axis), kr_scale=P(axis))
@@ -282,6 +445,7 @@ def cp_gqa_attention(
     block_size: int,          # PHYSICAL per-rank block size
     sm_scale: float,
     axis: str = "cp",
+    variant: str = "merge",   # "ring" = paged ring attention for chunks
 ) -> Tuple[jax.Array, KVCache]:
     """GQA long context: write-then-attend over the cp-sharded paged K/V
     cache (VERDICT r2 #6; ref mechanism: ring attention,
@@ -301,7 +465,8 @@ def cp_gqa_attention(
 
     def local(q, kn, vn, cache, slots, bt, ctx, ql):
         return _gqa_cp_body(q, kn, vn, cache, slots, bt, ctx, ql,
-                            axis=axis, n=n, bs=bs, sm_scale=sm_scale, dp=dp)
+                            axis=axis, n=n, bs=bs, sm_scale=sm_scale, dp=dp,
+                            ring=(variant == "ring"))
 
     tp = "tp" if mesh.shape.get("tp", 1) > 1 else None
     cache_spec = KVCache(k=P(axis, tp, None), v=P(axis, tp, None),

@@ -46,6 +46,7 @@ def pipeline_forward(
     block_size: int,
     axis: str = "pp",
     num_microbatches: Optional[int] = None,
+    cp_attn: str = "merge",
     return_all_logits: bool = False,
     collect_expert_counts: bool = False,
 ) -> Tuple[jax.Array, object]:
@@ -110,7 +111,7 @@ def pipeline_forward(
             step = transformer.make_layer_step(
                 bmb, cfg, rope, block_size=block_size, moe_stacks=stage_big,
                 collect_counts=collect_expert_counts,
-                cp_manual=cp if cp > 1 else 0,
+                cp_manual=cp if cp > 1 else 0, cp_attn=cp_attn,
             )
             L_stage = jnp.arange(stage_small["ffn_norm"].shape[0],
                                  dtype=jnp.int32)
