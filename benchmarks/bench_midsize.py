@@ -284,6 +284,10 @@ def run_mixed_itl(new_tokens: int = 96, batch: int = BATCH,
 
 
 if __name__ == "__main__":
+    from vllm_from_scratch_tpu.utils.compile_cache import (
+        enable_persistent_cache)
+
+    enable_persistent_cache()
     run_engine()
     if os.environ.get("VFS_BENCH_ITL", "1") != "0":
         run_mixed_itl()

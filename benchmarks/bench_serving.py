@@ -43,6 +43,15 @@ def run_rate(rate: float, verbose: bool = True) -> dict:
     from benchmarks.bench_midsize import BATCH, build_engine
 
     from vllm_from_scratch_tpu.core.config import SamplingParams
+    from vllm_from_scratch_tpu.utils.compile_cache import (
+        enable_persistent_cache)
+
+    # Persistent compile cache (r4, VERDICT r3 #4): warmup()'s ~36 programs
+    # compile once per CONFIG, not once per process — a server restart
+    # replays them from disk (measured: TPU executable deserialization works
+    # across processes over the tunnel), cutting the ~200 s warmup to the
+    # execute-once cost.
+    enable_persistent_cache()
 
     eng = build_engine(BATCH)
     rng = np.random.RandomState(0)
