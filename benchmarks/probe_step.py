@@ -30,8 +30,9 @@ def main():
         num_experts=16, top_k=2, num_shared_experts=1,
         dtype="bfloat16",
     )
-    B, bs, nblocks, ctx = 16, int(os.environ.get("BS", "16")), 0, 640
-    nblocks = 16384 // bs
+    B = int(os.environ.get("B", "16"))
+    bs, ctx = int(os.environ.get("BS", "16")), int(os.environ.get("CTX", "640"))
+    nblocks = (B * 1024) // bs
 
     params0 = transformer.init_params(jax.random.PRNGKey(0), mcfg)
 

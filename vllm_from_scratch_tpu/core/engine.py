@@ -944,32 +944,52 @@ class LLMEngine:
             )
         return [int(t) for t in np.asarray(out_tokens)[:B]]
 
+    def _decode_macro_k(self, scheduled: List[ScheduledRequest],
+                        tokens_ahead: int = 0, pos_offset: int = 0) -> int:
+        """Macro length for a pure-decode batch: FULL decode_steps whenever
+        any row still needs that many tokens.
+
+        r3 capped K by the MIN remaining tokens across rows, so every
+        generation ended in a cascade of shrinking macros (64, 32, 16, ...,
+        1) — and each macro pays the full dispatch + result-fetch round
+        trip, which dominates on a high-latency tunnel (r4 measured: B=64
+        device step 8.4 ms vs engine 27.9 ms/step — 70% overhead, mostly
+        the tail cascade).  Rows that pass max_new_tokens inside a pinned
+        macro simply have their surplus tokens discarded on the host
+        (scheduler.update already skips finished requests), wasting at most
+        one macro's tail of device compute per generation instead of paying
+        ~log2(K) extra round trips.  K is still bucketed to a power of two
+        (bounded program count) and clamped so no position can run past the
+        rope table / max_position."""
+        need = max(
+            it.request.sampling.max_new_tokens
+            - len(it.request.output_token_ids) - tokens_ahead
+            for it in scheduled
+        )
+        if need < 1:
+            return 0
+        K = min(
+            self.config.scheduler.decode_steps,
+            _next_pow2(need),
+            self.config.model.max_position
+            - max(it.start_pos + pos_offset for it in scheduled),
+        )
+        return _pow2_down(K) if K >= 1 else 0
+
     def _try_multi_step(self, scheduled: List[ScheduledRequest]) -> bool:
         """Dispatch K decode iterations as one device call (async pipeline).
 
         Only for pure-decode batches.  On success the macro-step is IN
         FLIGHT (self._pending_macro set) and the caller pumps it; False
-        falls back to the 1-step path.  K is capped so no request overruns
-        max_new_tokens, and every request must be able to pre-allocate K
-        slots (grants roll back on failure so the fallback doesn't
-        over-commit)."""
-        K = self.config.scheduler.decode_steps
-        if K <= 1 or any(it.num_new_tokens != 1 for it in scheduled):
+        falls back to the 1-step path.  Every request must be able to
+        pre-allocate K slots (grants roll back on failure so the fallback
+        doesn't over-commit)."""
+        if (self.config.scheduler.decode_steps <= 1
+                or any(it.num_new_tokens != 1 for it in scheduled)):
             return False
-        K = min(
-            K,
-            min(
-                it.request.sampling.max_new_tokens - len(it.request.output_token_ids)
-                for it in scheduled
-            ),
-        )
+        K = self._decode_macro_k(scheduled)
         if K <= 1:
             return False
-        # Bucket K DOWN to a power of two: K is a static arg of the scan
-        # program, and under staggered serving loads the min-remaining cap
-        # otherwise takes near-arbitrary values — each a fresh multi-second
-        # compile (measured 3-13 s stalls dominating bench_serving, r3).
-        K = _pow2_down(K)
         granted = []
         for it in scheduled:
             extra = self.kv_mgr.allocate_slots(it.request, K)
@@ -1038,14 +1058,14 @@ class LLMEngine:
         if any(r.is_finished for r in reqs):  # aborted mid-flight
             return None
         done_after = p["offset"] + K
-        K2 = min(
-            self.config.scheduler.decode_steps,
-            min(r.sampling.max_new_tokens - (len(r.output_token_ids) + K)
-                for r in reqs),
-        )
+        # Pinned macro length (see _decode_macro_k): continue while ANY row
+        # still needs tokens after the pending macro lands (output lengths
+        # don't yet include p's K unsynced tokens); rows that finish
+        # mid-macro have their surplus discarded at update().
+        K2 = self._decode_macro_k(scheduled, tokens_ahead=K,
+                                  pos_offset=done_after)
         if K2 <= 1:
             return None
-        K2 = _pow2_down(K2)  # static scan length: bound the program count
         granted = []
         for it in scheduled:
             # num_computed still sits at start_pos + p["offset"] (p's updates
