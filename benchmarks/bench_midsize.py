@@ -35,6 +35,8 @@ BATCH = int(os.environ.get("VFS_BENCH_BATCH", "16"))
 WEIGHT_QUANT = os.environ.get("VFS_BENCH_WEIGHT_QUANT", "int8")
 # prefill chunk budget (max_num_batched_tokens); sweep: benchmarks/sweep_chunk.py
 CHUNK = int(os.environ.get("VFS_BENCH_CHUNK", "2048"))
+# async prefill pipeline depth (in-flight dispatched-unsynced steps)
+ASYNC_DEPTH = int(os.environ.get("VFS_BENCH_ASYNC_DEPTH", "2"))
 
 HBM_BYTES_PER_S = 819e9  # v5e
 MXU_BF16_FLOPS = 197e12  # v5e peak (bf16 activations; int8 weights upconvert)
@@ -66,7 +68,8 @@ def build_engine(batch: int = BATCH, decode_steps: int = DECODE_STEPS):
         # decode rate isn't a single-window measurement.
         scheduler=SchedulerConfig(max_num_seqs=batch,
                                   max_num_batched_tokens=CHUNK,
-                                  decode_steps=decode_steps),
+                                  decode_steps=decode_steps,
+                                  async_depth=ASYNC_DEPTH),
         # scope="experts" measured a wash on v5e (probe_step: 8.71 vs
         # 8.58 ms — the extra bf16 dense bytes cancel the convert savings),
         # so the headline keeps everything int8.
@@ -146,9 +149,23 @@ def run_engine(new_tokens: int = NEW_TOKENS, verbose: bool = True,
               flush=True)
 
     prompts = [list(rng.randint(1, 31999, 512)) for _ in range(batch)]
+    # VFS_BENCH_TRACE=<dir>: capture a jax.profiler trace of the measured
+    # window's first steps (programs already warm — avoids the standalone
+    # trace script's cold multi-minute remote compiles).
+    trace_dir = os.environ.get("VFS_BENCH_TRACE")
+    trace_ctx = (jax.profiler.trace(trace_dir) if trace_dir
+                 else __import__("contextlib").nullcontext())
     t0 = time.perf_counter()
     ids = [eng.add_request(p, sp) for p in prompts]
     first, decode_t0, decode_toks, kv_peak = {}, None, 0, 0.0
+    with trace_ctx:
+        n_traced = 0
+        while trace_dir and eng.has_unfinished and n_traced < 6:
+            emitted = eng.step()
+            n_traced += 1
+            now = time.perf_counter()
+            for rid, _ in emitted:
+                first.setdefault(rid, now - t0)
     while eng.has_unfinished:
         emitted = eng.step()
         kv_peak = max(kv_peak, eng.kv_mgr.usage)
