@@ -8,7 +8,8 @@ because each point forks fresh — this harness now does the same):
 
 - **peak** (the HEADLINE): the midsize DeepSeek-lite MLA+MoE model
   (hidden 1024 / 12 layers / 16 experts / vocab 32k, 1.9 GB INT8
-  weights) at its measured saturating batch B=64.
+  weights) at PEAK_BATCH — the measured saturating batch for the
+  current round's host (see the PEAK_BATCH comment).
 - **b16**: the same model at B=16 — the roofline-accounting point
   (bytes/step vs the 819 GB/s v5e HBM roofline) kept for r1/r2/r3
   continuity.
@@ -118,6 +119,13 @@ def run(num_requests=16, prompt_len=64, new_tokens=128, shared_prefix=32):
     eng.generate(make_prompts(), sp, max_steps=new_tokens + 40)
     eng.generate(make_prompts(), sp, max_steps=new_tokens + 40)
 
+    # Snapshot the prefix-cache counters so the reported hit rate covers
+    # the MEASURED run only.  (r2-r4 reported the cumulative rate including
+    # the cold warmup passes, which diluted it — BENCH_r02's 0.571 vs
+    # BENCH_r04's 0.333 was warmup-count drift, not a cache regression; the
+    # steady-state rate of this workload is 2 shared blocks / 4 per prompt.)
+    hit0, query0 = eng.kv_mgr.hit_blocks, eng.kv_mgr.query_blocks
+
     prompts = make_prompts()
     submit = time.perf_counter()
     ids = [eng.add_request(p, sp) for p in prompts]
@@ -148,7 +156,9 @@ def run(num_requests=16, prompt_len=64, new_tokens=128, shared_prefix=32):
         "toy_decode_tokens_per_s": round(decode_tps, 1),
         "toy_total_tokens_per_s": round(gen_tokens / total_time, 1),
         "toy_p50_ttft_ms": round(1000 * ttft[len(ttft) // 2], 1),
-        "prefix_cache_hit_rate": round(eng.kv_mgr.hit_rate, 3),
+        "prefix_cache_hit_rate": round(
+            (eng.kv_mgr.hit_blocks - hit0)
+            / max(eng.kv_mgr.query_blocks - query0, 1), 3),
         "kv_usage_peak": round(kv_peak, 3),
     }
 
@@ -270,8 +280,13 @@ def main():
         "vs_baseline": (round(value / BASELINE_TOKS_PER_S, 3)
                         if value else None),
         "value_batch": value_batch,
-        "b64_decode_tokens_per_s": peak.get("decode_tps"),
+        "peak_decode_tokens_per_s": peak.get("decode_tps"),
         "peak_batch": PEAK_BATCH,
+        # Roofline accounting for the PEAK batch itself (VERDICT r4 weak#7:
+        # the headline and the accounting must use the same batch).
+        "peak_hbm_util_pct": peak.get("hbm_util_pct"),
+        "peak_bytes_per_step_mb": (round(peak["bytes_per_step"] / 1e6)
+                                   if "bytes_per_step" in peak else None),
         "b16_decode_tokens_per_s": b16.get("decode_tps"),
         "p50_ttft_ms": b16.get("p50_ttft_ms"),
         "bytes_per_step_mb": (round(b16["bytes_per_step"] / 1e6)

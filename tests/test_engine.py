@@ -308,6 +308,89 @@ class TestPreemptionModes:
         # Catch-up covers prompt AND the two kept outputs.
         assert items[0].target == r.num_tokens
 
+    def test_inflight_request_never_self_preempts(self):
+        """A running decode carrying an unsynced async PLACEHOLDER must not
+        self-preempt when its slot allocation fails (ADVICE r4 medium): a
+        preempted-then-readmitted request would pack the -1 into a catch-up
+        chunk as a real token id.  It skips the step instead; after the
+        commit patches the placeholder it may preempt normally."""
+        from vllm_from_scratch_tpu.core.kv_cache_manager import KVCacheManager
+        from vllm_from_scratch_tpu.core.scheduler import (PLACEHOLDER,
+                                                          Scheduler)
+
+        mgr = KVCacheManager(4, 16)  # 3 usable blocks = 48 slots
+        s = Scheduler(SchedulerConfig(max_num_seqs=2,
+                                      max_num_batched_tokens=64), mgr)
+        r = Request(req_id=0, prompt_token_ids=list(range(1, 49)),
+                    sampling=SamplingParams(max_new_tokens=8, ignore_eos=True))
+        s.add_request(r)
+        items = s.schedule()          # full 48-token prefill, 3 blocks
+        assert items and items[0].num_new_tokens == 48
+        records = s.update_async_dispatch(items)  # appends PLACEHOLDER
+        assert r.output_token_ids == [PLACEHOLDER]
+        assert r.req_id in s._inflight
+        # Next decode needs a 4th block: pool is dry, no other victims.
+        out = s.schedule()
+        assert out == []
+        assert r in s.running and r.status is RequestStatus.RUNNING
+        assert s.stats.num_preempted == 0
+        # Commit the placeholder; NOW the self-preempt may proceed.
+        s.update_async_commit(records, [7])
+        assert r.req_id not in s._inflight
+        out = s.schedule()
+        assert out == [] and r in s.waiting
+        assert s.stats.num_preempted == 1
+        assert PLACEHOLDER not in r.all_token_ids()
+
+    def test_swap_in_rolls_back_on_failed_admission(self):
+        """If the chunk allocation fails AFTER a successful swap_in, the
+        injected device blocks must be released and the host pages restored
+        (ADVICE r4 low): a WAITING request is never a preemption victim, so
+        leaving them attached would permanently shrink the pool."""
+        from vllm_from_scratch_tpu.core.kv_cache_manager import KVCacheManager
+        from vllm_from_scratch_tpu.core.scheduler import Scheduler
+
+        mgr = KVCacheManager(4, 16)  # 3 usable blocks
+        s = Scheduler(SchedulerConfig(max_num_seqs=2,
+                                      max_num_batched_tokens=64,
+                                      preemption_mode="swap"), mgr)
+
+        class PoolSwapper:  # engine.swap_in's allocation behavior
+            def swap_in(self, req):
+                n = req.num_swapped_tokens // 16
+                if mgr.pool.get_num_free_blocks() < n:
+                    return False
+                req.block_ids = list(mgr.pool.get_new_blocks(n))
+                req.num_computed_tokens = req.num_swapped_tokens
+                req.num_cached_blocks = 0
+                req.swapped_pages = None
+                req.num_swapped_tokens = 0
+                return True
+
+            def swap_out(self, req):
+                return False
+
+        s.swapper = PoolSwapper()
+        pages = {"fake": True}
+        r = Request(req_id=0, prompt_token_ids=list(range(1, 33)),
+                    sampling=SamplingParams(max_new_tokens=24, ignore_eos=True))
+        r.output_token_ids = [5] * 20        # 52 total tokens
+        r.preempt_swapped(pages=pages, num_tokens=32)  # 2 blocks on host
+        s.add_request(r)
+        r.status = RequestStatus.WAITING
+        free0 = mgr.pool.get_num_free_blocks()
+        # swap_in injects 2 blocks; the 20-token catch-up chunk then needs 2
+        # more but only 1 remains and nothing is running -> admission fails.
+        items = s.schedule()
+        assert items == []
+        assert mgr.pool.get_num_free_blocks() == free0  # injection rolled back
+        assert r.block_ids == [] and r.swapped_pages is pages
+        assert r.num_swapped_tokens == 32
+        assert r in s.waiting and s.stats.num_swapped_in == 0
+        # With room freed up, the retry next step succeeds end-to-end.
+        s2_free = mgr.pool.get_num_free_blocks()
+        assert s2_free == 3
+
 
 # ---------------------------------------------------------------- scheduler-only
 

@@ -18,6 +18,7 @@ Equivalent of the reference's ``MiniVLLM`` (ref: 05_mini_vllm/mini_vllm.py:
 
 from __future__ import annotations
 
+import os
 import time
 from collections import deque
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -456,6 +457,10 @@ class LLMEngine:
         # Async decode pipeline: the in-flight macro-step (dispatched but
         # not yet synced); see _pump_async.
         self._pending_macro: Optional[dict] = None
+        # VFS_MACRO_TRACE=1: per-macro phase timings (cont dispatch / result
+        # fetch / scheduler update) appended as dicts — the host-overhead
+        # diagnosis harness (benchmarks/probe_macro.py).
+        self._macro_log = [] if os.environ.get("VFS_MACRO_TRACE") else None
 
         # ---- speculative decoding (optional) ---------------------------
         self.draft_params = None
@@ -1083,14 +1088,23 @@ class LLMEngine:
         """Dispatch the continuation, then sync + apply the pending macro."""
         p = self._pending_macro
         self._pending_macro = None
+        t0 = time.perf_counter()
         cont = self._dispatch_continuation(p)
+        t1 = time.perf_counter()
 
         arr = np.asarray(p["toks"])   # [K, B_pad] — waits for p only
+        t2 = time.perf_counter()
         self._eplb_accumulate(p["counts"])
         emitted: List[Tuple[int, int]] = []
         for k in range(p["K"]):
             emitted.extend(self.scheduler.update(
                 p["scheduled"], [int(t) for t in arr[k, : p["B"]]]))
+        if self._macro_log is not None:
+            self._macro_log.append(
+                {"K": p["K"], "B": p["B"], "cont_ms": (t1 - t0) * 1e3,
+                 "fetch_ms": (t2 - t1) * 1e3,
+                 "update_ms": (time.perf_counter() - t2) * 1e3,
+                 "had_cont": cont is not None})
         if cont is not None:
             self._pending_macro = cont
         else:
@@ -1496,12 +1510,21 @@ class LLMEngine:
             # patched or owned by ``prev``.  Rare — FCFS grants running
             # decodes every step.
             def _stale(it):
-                return (it.request.all_token_ids()[it.start_pos]
-                        == PLACEHOLDER
-                        and (not self._pending_q or it.request.req_id
-                             not in self._pending_q[-1]["rowof"]))
+                toks = it.request.all_token_ids()
+                if it.num_new_tokens == 1:
+                    return (toks[it.start_pos] == PLACEHOLDER
+                            and (not self._pending_q or it.request.req_id
+                                 not in self._pending_q[-1]["rowof"]))
+                # Prefill / catch-up rows pack host token VALUES: any
+                # placeholder inside the packed range must be committed
+                # first or -1s would be written into KV as real ids
+                # (ADVICE r4 medium; the scheduler's inflight self-preempt
+                # guard makes this unreachable — kept as defense in depth).
+                lo, hi = it.start_pos, it.start_pos + it.num_new_tokens
+                return any(t == PLACEHOLDER for t in toks[lo:hi])
 
-            while self._pending_q and any(_stale(it) for it in decode_items):
+            while self._pending_q and any(
+                    _stale(it) for it in prefill_items + decode_items):
                 emitted += self._commit_oldest()
             prev = self._pending_q[-1] if self._pending_q else None
             if emitted:

@@ -252,7 +252,15 @@ class Scheduler:
             if len(req.output_token_ids) >= req.sampling.max_new_tokens:
                 continue
             if self._allocate_with_preemption(req, 1, protected) is None:
-                # Could not make room even with preemption: preempt req itself.
+                # Could not make room even with preemption: preempt req itself
+                # — unless it still carries an unsynced async placeholder.
+                # Preempting an inflight request would let it re-admit with a
+                # PLACEHOLDER inside a catch-up chunk (packed as a real token
+                # id) and would break swap_out's blocks-are-final invariant;
+                # skip its step instead — the commit lands within async_depth
+                # steps and clears the inflight mark (ADVICE r4 medium).
+                if req.req_id in self._inflight:
+                    continue
                 self.running.remove(req)
                 self._do_preempt(req)
                 preempted_now.append(req)
@@ -309,9 +317,16 @@ class Scheduler:
                     continue
             # SWAP-mode resume: re-inject the victim's host-resident pages
             # into fresh device blocks before anything else schedules for it.
+            # The host pages are stashed so a same-step admission failure can
+            # roll the injection back — otherwise a WAITING request (never a
+            # preemption victim) would pin unreclaimable device blocks
+            # (ADVICE r4 low).
+            undo_swap = None
             if req.swapped_pages is not None:
+                stash = (req.swapped_pages, req.num_swapped_tokens)
                 if self.swapper is not None and self.swapper.swap_in(req):
                     self.stats.num_swapped_in += 1
+                    undo_swap = stash
                 elif self.running:
                     break  # pool still tight: wait for frees (FCFS)
                 else:
@@ -334,18 +349,18 @@ class Scheduler:
             if chunk <= 0:
                 # Budget fragment below the chunk quantum: stop admission
                 # (FCFS) until a full quantum frees up next step.
-                self._rollback_admission(req, hits)
+                self._rollback_admission(req, hits, undo_swap)
                 break
             if not partial_prefill_ok(remaining, chunk):
-                self._rollback_admission(req, hits)
+                self._rollback_admission(req, hits, undo_swap)
                 idx += 1
                 continue
             if chunk > budget:
                 # whole-prompt admission doesn't fit this step
-                self._rollback_admission(req, hits)
+                self._rollback_admission(req, hits, undo_swap)
                 break
             if self._allocate_with_preemption(req, chunk, protected) is None:
-                self._rollback_admission(req, hits)
+                self._rollback_admission(req, hits, undo_swap)
                 break
             self.waiting.pop(idx)
             req.status = RequestStatus.RUNNING
@@ -366,13 +381,23 @@ class Scheduler:
         self.stats.num_scheduled_tokens += sum(s.num_new_tokens for s in scheduled)
         return scheduled
 
-    def _rollback_admission(self, req: Request, hits: List[int]) -> None:
-        """Undo a prefix-cache touch when admission fails (blocks stay cached)."""
+    def _rollback_admission(self, req: Request, hits: List[int],
+                            undo_swap=None) -> None:
+        """Undo a prefix-cache touch when admission fails (blocks stay cached),
+        and roll back a same-step swap_in: the request stays WAITING and
+        waiting requests are never preemption victims, so leaving the injected
+        blocks attached would shrink the reclaimable pool (ADVICE r4 low).
+        The stashed host pages are restored; the injection retries next step."""
         if hits:
             self.kv.pool.free_blocks(list(reversed(hits)))
             req.block_ids = []
             req.num_computed_tokens = 0
             req.num_cached_blocks = 0
+        if undo_swap is not None:
+            pages, ntok = undo_swap
+            self.kv.free(req)
+            req.preempt_swapped(pages, ntok)
+            self.stats.num_swapped_in -= 1
 
     # ---- async scheduling (dispatch-before-sync) --------------------------------
 

@@ -22,7 +22,8 @@ def enable_persistent_cache(cache_dir: str = None) -> str:
     """Enable the JAX persistent compile cache.  Call AFTER importing jax
     but before the first compilation.  Returns the cache directory used.
 
-    Env overrides: VFS_JAX_CACHE_DIR (set to "0" to disable).
+    Env overrides: VFS_JAX_CACHE_DIR (set to "0" to disable;
+    VFS_JAX_CACHE_FORCE=1 enables even on the axon backend).
     """
     import jax
 
@@ -33,6 +34,18 @@ def enable_persistent_cache(cache_dir: str = None) -> str:
         cache_dir or os.path.join(repo_root, ".jax_cache"))
     if cache_dir == "0":
         return ""
+    # The axon remote-compile tunnel cannot serialize executables: the
+    # cache writes nothing, adds ~10 s per compile, and intermittently
+    # hangs a trivial jit for minutes (measured r5 host).  The tunnel's
+    # remote-compile server keeps its own HLO cache, so cross-process
+    # warm starts come for free there; only local backends (cpu tests,
+    # real local TPUs) benefit from the JAX persistent cache.
+    if os.environ.get("VFS_JAX_CACHE_FORCE") != "1":
+        try:
+            if jax.devices()[0].platform == "axon":
+                return ""
+        except Exception:
+            pass
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
