@@ -1,13 +1,30 @@
-"""Server-restart cost: warmup() wall time, cold vs warm compile cache.
+"""Server-restart cost: process start -> first served token, three ways.
 
-VERDICT r3 #4: a production restart must not re-pay compiles it paid
-yesterday.  With the persistent compile cache (utils/compile_cache.py)
-enabled, warmup()'s program set deserializes from disk instead of
-recompiling — this bench runs the SAME engine config in two consecutive
-child processes and reports each one's warmup wall time plus the time to
-first served token after warmup.
+VERDICT r3 #4 / r4 missing #1: a production restart must not re-pay
+yesterday's compiles before serving.  The reference documents startup
+(graph capture) as a first-class serving cost (BLOG_PART3_V2.md:1630-1645).
 
-Run: python benchmarks/bench_warmstart.py     (TPU)
+On THIS host the JAX persistent compile cache cannot help: the axon
+remote-compile tunnel never serializes executables (utils/compile_cache.py
+gates it off — r5 measured 0 entries written, ~10 s extra per compile,
+intermittent hangs).  The tunnel's remote-compile SERVER keeps its own HLO
+cache, so a restarted process still recompiles every program ~1.5-3x
+faster.  The restart strategies measured here:
+
+1. cold-full   — first process, full warmup() (the whole ~36-program
+                 serving set) before the first request.
+2. warm-full   — second process, same; isolates the server-side HLO cache.
+3. warm-fast   — restart that serves IMMEDIATELY: no upfront warmup — the
+                 first request compiles exactly the programs it needs (by
+                 construction), then the remaining set warms after.  This
+                 is the strategy that meets the <=30 s serve-by bar; the
+                 post-serve warmup wall is what background warming would
+                 overlap with live traffic.
+
+Each child reports ``serve_by_s`` = process start -> first token out.
+Writes benchmarks/bench_warmstart.json.
+
+Run: python benchmarks/bench_warmstart.py     (TPU; ~15-25 min cold)
 """
 
 import json
@@ -20,21 +37,24 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 CHILD = r"""
 import json, sys, time
+T0 = time.perf_counter()          # process-start reference (post-spawn)
 sys.path.insert(0, {root!r})
 sys.path.insert(0, {here!r})
-from vllm_from_scratch_tpu.utils.compile_cache import enable_persistent_cache
-enable_persistent_cache()
 import numpy as np
 from bench_midsize import build_engine
 from vllm_from_scratch_tpu.core.config import SamplingParams
+
+do_warmup_first = {warmup_first!r}
 
 t0 = time.perf_counter()
 eng = build_engine(16)
 build_s = time.perf_counter() - t0
 
-t0 = time.perf_counter()
-n = eng.warmup(prompt_lens=(512,))
-warmup_s = time.perf_counter() - t0
+warmup_s = n = None
+if do_warmup_first:
+    t0 = time.perf_counter()
+    n = eng.warmup(prompt_lens=(512,))
+    warmup_s = time.perf_counter() - t0
 
 rng = np.random.RandomState(0)
 sp = SamplingParams(max_new_tokens=8, temperature=0.0, ignore_eos=True)
@@ -44,17 +64,28 @@ first_s = None
 while eng.has_unfinished:
     if eng.step() and first_s is None:
         first_s = time.perf_counter() - t0
+        serve_by = time.perf_counter() - T0
+drain_s = time.perf_counter() - t0 - first_s   # rest of the 8 tokens
+
+if not do_warmup_first:
+    t0 = time.perf_counter()
+    n = eng.warmup(prompt_lens=(512,))
+    warmup_s = time.perf_counter() - t0        # background-warmable cost
+
 print("WSJSON " + json.dumps({
     "build_s": round(build_s, 1), "warmup_programs": n,
-    "warmup_s": round(warmup_s, 1),
-    "ttft_after_warmup_s": round(first_s, 3)}), flush=True)
+    "warmup_s": round(warmup_s, 1), "warmup_first": do_warmup_first,
+    "ttft_in_engine_s": round(first_s, 2),
+    "post_first_drain_s": round(drain_s, 2),
+    "serve_by_s": round(serve_by, 1)}), flush=True)
 """
 
 
-def run_once(tag):
+def run_once(tag, warmup_first):
     proc = subprocess.run(
         [sys.executable, "-u", "-c",
-         CHILD.format(root=os.path.dirname(HERE), here=HERE)],
+         CHILD.format(root=os.path.dirname(HERE), here=HERE,
+                      warmup_first=warmup_first)],
         capture_output=True, text=True, timeout=3600)
     row = None
     for line in proc.stdout.splitlines():
@@ -68,12 +99,17 @@ def run_once(tag):
 
 
 def main():
-    first = run_once("process 1 (cache state: as found)")
-    second = run_once("process 2 (warm disk cache)")
-    print(f"restart cost: warmup {first['warmup_s']}s -> "
-          f"{second['warmup_s']}s", flush=True)
+    out = {
+        "cold_full": run_once("cold-full  (process 1, warmup first)", True),
+        "warm_full": run_once("warm-full  (restart, warmup first)", True),
+        "warm_fast": run_once("warm-fast  (restart, serve first)", False),
+    }
+    print(f"restart serve-by: cold-full {out['cold_full']['serve_by_s']}s, "
+          f"warm-full {out['warm_full']['serve_by_s']}s, "
+          f"warm-fast {out['warm_fast']['serve_by_s']}s "
+          f"(target <= 30 s)", flush=True)
     with open(os.path.join(HERE, "bench_warmstart.json"), "w") as f:
-        json.dump({"first": first, "second": second}, f, indent=1)
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

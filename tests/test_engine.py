@@ -786,6 +786,46 @@ class TestMultiStepDecode:
         assert eng.kv_mgr.pool.get_num_free_blocks() == free_before
         assert [len(it.request.block_ids) for it in scheduled] == blocks_before
 
+    def test_chain_survives_staggered_finishes(self):
+        """Rows with different max_new_tokens finish at different macros;
+        the continuation CHAIN must carry the finished rows as masked pads
+        instead of breaking (r5 B=64 host-gap fix) and tokens must match
+        the K=1 engine exactly."""
+        prompts = [list(range(1, 21)), [7, 8, 9], list(range(40, 70))]
+        maxes = [5, 11, 23]
+
+        def run(K):
+            eng = LLMEngine(self._cfg(K))
+            conts = {"n": 0}
+            orig = eng._dispatch_continuation
+
+            def counting(p):
+                c = orig(p)
+                if c is not None:
+                    conts["n"] += 1
+                return c
+
+            eng._dispatch_continuation = counting
+            ids = [eng.add_request(list(p),
+                                   SamplingParams(max_new_tokens=m,
+                                                  temperature=0.0,
+                                                  ignore_eos=True))
+                   for p, m in zip(prompts, maxes)]
+            outs = {r: [] for r in ids}
+            while eng.has_unfinished:
+                for rid, t in eng.step():
+                    outs[rid].append(t)
+            assert eng.kv_mgr.usage == 0.0  # masked rows' blocks all freed
+            return outs, conts["n"]
+
+        o1, _ = run(1)
+        o4, n_cont = run(4)
+        assert o4 == o1
+        assert [len(v) for v in o4.values()] == maxes
+        # max_new spread 5..23 at K=4 needs >= 4 further macros after the
+        # first — the chain kept going across the 5- and 11-token finishes.
+        assert n_cont >= 3
+
     def test_mixed_arrivals_fall_back(self):
         """A prefill arriving between macro-steps still gets served."""
         eng = LLMEngine(self._cfg(8))

@@ -1007,12 +1007,17 @@ class LLMEngine:
         self._pending_macro = self._dispatch_macro(scheduled, K, tok_dev=None)
         return True
 
-    def _dispatch_macro(self, scheduled, K: int, tok_dev, start_offset: int = 0):
+    def _dispatch_macro(self, scheduled, K: int, tok_dev, start_offset: int = 0,
+                        dead_rows: frozenset = frozenset()):
         """Stage + dispatch one K-iteration decode macro (no host sync).
 
         ``tok_dev``: device [B_pad] current tokens (None => upload from host
         state); ``start_offset``: extra tokens beyond each item's start_pos
-        already covered by in-flight macros (continuation dispatch)."""
+        already covered by in-flight macros (continuation dispatch).
+        ``dead_rows``: row indices whose request finished (or provably will
+        inside the pending macro) — packed as pad rows (null tables/slots)
+        so a continuation CHAIN survives individual rows finishing; their
+        sampled tokens are discarded by scheduler.update."""
         B = len(scheduled)
         dp = self.config.parallel.dp_size
         # Pinned decode shapes (see _pack_group(decode=True)): arrival-
@@ -1024,6 +1029,8 @@ class LLMEngine:
         packed = np.zeros((B_pad, 1 + N_pad + K + 1), np.int32)
         tok0 = np.zeros((B_pad,), np.int32)
         for i, it in enumerate(scheduled):
+            if i in dead_rows:
+                continue  # pad-row conventions: pos 0, null block, slot 0
             req, s0 = it.request, it.start_pos + start_offset
             if tok_dev is None:
                 tok0[i] = req.all_token_ids()[s0]
@@ -1059,20 +1066,34 @@ class LLMEngine:
         scheduled, K = p["scheduled"], p["K"]
         if self.scheduler.waiting:  # serve arrivals between macros
             return None
-        reqs = [it.request for it in scheduled]
-        if any(r.is_finished for r in reqs):  # aborted mid-flight
-            return None
         done_after = p["offset"] + K
-        # Pinned macro length (see _decode_macro_k): continue while ANY row
-        # still needs tokens after the pending macro lands (output lengths
-        # don't yet include p's K unsynced tokens); rows that finish
+
+        # Chains SURVIVE rows finishing (r5, the B=64 host-gap fix): a row
+        # that finished (EOS/abort at an earlier pump) or arithmetically
+        # will finish inside the pending macro (max_new reached within its
+        # K unsynced tokens) is carried as a masked pad row — breaking the
+        # chain instead costs a full unoverlapped exec+RTT+reschedule per
+        # finish cohort, which dominated the B=64 wall (staggered chunked-
+        # prefill admissions stagger the finishes).
+        def _row_done(it):
+            r = it.request
+            return (r.is_finished
+                    or r.sampling.max_new_tokens
+                    - len(r.output_token_ids) - K <= 0)
+
+        live = [it for it in scheduled if not _row_done(it)]
+        if not live:
+            return None
+        # Pinned macro length (see _decode_macro_k): continue while ANY live
+        # row still needs tokens after the pending macro lands (output
+        # lengths don't yet include p's K unsynced tokens); rows that finish
         # mid-macro have their surplus discarded at update().
-        K2 = self._decode_macro_k(scheduled, tokens_ahead=K,
+        K2 = self._decode_macro_k(live, tokens_ahead=K,
                                   pos_offset=done_after)
         if K2 <= 1:
             return None
         granted = []
-        for it in scheduled:
+        for it in live:
             # num_computed still sits at start_pos + p["offset"] (p's updates
             # haven't run), so K (pending) + K2 (new) tokens need slots.
             extra = self.kv_mgr.allocate_slots(it.request, K + K2)
@@ -1081,8 +1102,9 @@ class LLMEngine:
                     self.kv_mgr.rollback(req, ids)
                 return None
             granted.append((it.request, extra))
+        dead = frozenset(i for i, it in enumerate(scheduled) if _row_done(it))
         return self._dispatch_macro(scheduled, K2, tok_dev=p["toks"][-1],
-                                    start_offset=done_after)
+                                    start_offset=done_after, dead_rows=dead)
 
     def _pump_async(self) -> List[Tuple[int, int]]:
         """Dispatch the continuation, then sync + apply the pending macro."""
