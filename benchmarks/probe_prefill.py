@@ -28,6 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 INNER = 8
+#: comma-separated subset of full,attn,ffn,head (default all) — tunnel
+#: compiles run minutes each, so re-runs select just the missing sections.
+SECTIONS = os.environ.get("SECTIONS", "full,attn,ffn,head").split(",")
 
 B = int(os.environ.get("B", "4"))
 T = int(os.environ.get("T", "512"))
@@ -68,8 +71,14 @@ def main():
     pos0 = CTX - T
     pos = pos0 + np.arange(T)
     slots = tables[:, pos // BS] * BS + pos % BS              # [B, T]
+    # Random (per-process) token values: the axon tunnel memoizes repeated
+    # executions of an identical (program, inputs) pair ACROSS processes, so
+    # a re-run probing constant inputs can read back a cached result in ~30 us
+    # and report absurd MFU (observed r5).  Fresh values defeat the memo;
+    # same shapes still hit the compile cache.
+    tok_rng = np.random.RandomState(int.from_bytes(os.urandom(4), "little"))
     batch = ModelBatch(
-        tokens=jnp.ones((B, T), jnp.int32),
+        tokens=jnp.asarray(tok_rng.randint(1, 31999, (B, T)), jnp.int32),
         positions=jnp.tile(jnp.asarray(pos, jnp.int32), (B, 1)),
         slots=jnp.asarray(slots, jnp.int32),
         block_tables=jnp.asarray(tables),
@@ -78,15 +87,33 @@ def main():
     )
     flops_tok = 2 * 379e6  # active matmul params (bench_midsize accounting)
 
+    # Tunnel RTT: dispatch -> scalar-fetch round trip with ~no compute.  The
+    # axon link runs 1-30 ms depending on the night; every section timing
+    # below subtracts it (measured r5: naive repeat-dispatch timings on this
+    # tunnel can also return CACHED results for identical (program, inputs)
+    # pairs — sections therefore thread a loop-carried perturbation so no
+    # iteration is elidable, and are timed by ONE scalar fetch).
+    _rtt_f = jax.jit(lambda x: x.sum())
+    _rtt_x = jnp.ones((128,), jnp.float32)
+    float(_rtt_f(_rtt_x))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(_rtt_f(_rtt_x))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[2]
+    print(f"tunnel rtt: {rtt*1e3:.1f} ms", flush=True)
+
     def timed(name, fn, *args, flops=None):
-        """``flops`` is per ONE inner iteration (dt is per-iteration too)."""
+        """``flops`` is per ONE inner iteration (dt is per-iteration too).
+        ``fn`` must return a data-dependent SCALAR."""
         f = jax.jit(fn)
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
+        float(f(*args))
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
-        dt = (time.perf_counter() - t0) / INNER
+        float(f(*args))
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9) / INNER
         note = ""
         if flops is not None:
             note = f"  {flops / dt / 1e12:6.1f} TFLOP/s = " \
@@ -98,11 +125,15 @@ def main():
     # ---- full forward ----
     def full(params, cache, batch):
         def body(i, carry):
-            h, cache = carry
+            acc, cache = carry
+            b = batch._replace(
+                tokens=batch.tokens + (acc.astype(jnp.int32) & 1))
             logits, cache = transformer.forward(
-                params, cache, batch, mcfg, block_size=BS)
-            return h + logits.sum(), cache
-        return jax.lax.fori_loop(0, INNER, body, (jnp.zeros(()), cache))
+                params, cache, b, mcfg, block_size=BS)
+            return logits.astype(jnp.float32).sum(), cache
+        acc, cache = jax.lax.fori_loop(
+            0, INNER, body, (jnp.zeros(()), cache))
+        return acc + cache.c.astype(jnp.float32).sum() * 1e-20
 
     if os.environ.get("TRACE") == "1":
         f = jax.jit(full)
@@ -113,8 +144,9 @@ def main():
         print("trace -> benchmarks/traces/prefill", flush=True)
         return
 
-    t_full = timed("full", full, params, cache, batch,
-                   flops=B * T * flops_tok)
+    t_full = (timed("full", full, params, cache, batch,
+                    flops=B * T * flops_tok)
+              if "full" in SECTIONS else 0.0)
 
     layers_xs, moe_stacks = split_moe_stacks(
         fuse_projections(params["layers"], mcfg), mcfg)
@@ -131,10 +163,12 @@ def main():
 
         def body(i, carry):
             acc, cache = carry
+            hk = h0 * (1 + acc * 1e-20)   # loop-carried: nothing elidable
             h, cache = jax.lax.scan(
-                layer_step, h0, (layers_xs, cache, jnp.arange(L, dtype=jnp.int32)))
-            return acc + h.sum(), cache
-        return jax.lax.fori_loop(0, INNER, body, (jnp.zeros(()), cache))
+                layer_step, hk, (layers_xs, cache, jnp.arange(L, dtype=jnp.int32)))
+            return h.astype(jnp.float32).sum(), cache
+        acc, cache = jax.lax.fori_loop(0, INNER, body, (jnp.zeros(()), cache))
+        return acc + cache.c.astype(jnp.float32).sum() * 1e-20
 
     # attention FLOPs: projections (q_a,q_b,kv_a,wo ~ 60M params/layer... use
     # param count) + score/value (2 * B*T*ctx_mean * H * (r+dr) * 2) + q@W_UK
@@ -146,8 +180,9 @@ def main():
     ctx_mean = CTX - T / 2
     score = 2 * H * ctx_mean * (r + dr)
     attn_flops = 2 * B * T * (proj + absorb) + B * T * score * 2
-    t_attn = timed("attn", attn_only, params, cache, batch,
-                   flops=attn_flops * L)
+    t_attn = (timed("attn", attn_only, params, cache, batch,
+                    flops=attn_flops * L)
+              if "attn" in SECTIONS else 0.0)
 
     # ---- ffn-only layer scan ----
     def ffn_only(params, cache, batch):
@@ -162,30 +197,35 @@ def main():
 
         def body(i, carry):
             acc, cache = carry
+            hk = h0 * (1 + acc * 1e-20)
             h, cache = jax.lax.scan(
-                layer_step, h0, (layers_xs, cache, jnp.arange(L, dtype=jnp.int32)))
-            return acc + h.sum(), cache
-        return jax.lax.fori_loop(0, INNER, body, (jnp.zeros(()), cache))
+                layer_step, hk, (layers_xs, cache, jnp.arange(L, dtype=jnp.int32)))
+            return h.astype(jnp.float32).sum(), cache
+        acc, _ = jax.lax.fori_loop(0, INNER, body, (jnp.zeros(()), cache))
+        return acc
 
     ffn_flops = 2 * B * T * L * (
         1024 * 16  # router gate
         + (mcfg.top_k + 1) * 3 * 1024 * 2816)  # routed top2 + shared
-    t_ffn = timed("ffn", ffn_only, params, cache, batch,
-                  flops=ffn_flops)
+    t_ffn = (timed("ffn", ffn_only, params, cache, batch,
+                   flops=ffn_flops)
+             if "ffn" in SECTIONS else 0.0)
 
     # ---- final norm + last-pos gather + lm_head ----
     def head_only(params, batch):
         h0 = params["embed"][batch.tokens]
 
         def body(i, acc):
-            x = rms_norm(h0, params["final_norm"], mcfg.rms_norm_eps)
+            x = rms_norm(h0 * (1 + acc * 1e-20), params["final_norm"],
+                         mcfg.rms_norm_eps)
             last = jnp.maximum(batch.q_lens - 1, 0)
             x_last = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-            return acc + mm(x_last, params["lm_head"]).astype(jnp.float32).sum()
+            return mm(x_last, params["lm_head"]).astype(jnp.float32).sum()
         return jax.lax.fori_loop(0, INNER, body, jnp.zeros(()))
 
-    t_head = timed("head", head_only, params, batch,
-                   flops=2 * B * 1024 * 32000)
+    t_head = (timed("head", head_only, params, batch,
+                    flops=2 * B * 1024 * 32000)
+              if "head" in SECTIONS else 0.0)
 
     print(f"sum(attn+ffn+head) = {(t_attn+t_ffn+t_head)*1e3:.2f} ms "
           f"vs full {t_full*1e3:.2f} ms "

@@ -1502,6 +1502,7 @@ class LLMEngine:
         if self._pending_macro is not None:
             return self._pump_async()
 
+        t_step0 = time.perf_counter()
         scheduled = self.scheduler.schedule()
         if not scheduled:
             if self._pending_q:
@@ -1524,6 +1525,7 @@ class LLMEngine:
         if self._async_ok and prefill_items:
             from .scheduler import PLACEHOLDER
 
+            t_sched = time.perf_counter()
             emitted: List[Tuple[int, int]] = []
             # A decode row's placeholder must come from the LATEST pending
             # step (its on-device output feeds this dispatch).  A request
@@ -1556,6 +1558,7 @@ class LLMEngine:
                 decode_items = [it for it in decode_items
                                 if not it.request.is_finished]
             if prefill_items:
+                t_disp = time.perf_counter()
                 pend = None
                 K = self._mixed_macro_k(decode_items)
                 if K >= 2:
@@ -1565,8 +1568,18 @@ class LLMEngine:
                     pend = self._dispatch_async(prefill_items, decode_items,
                                                 prev)
                 self._pending_q.append(pend)
+                t_commit = time.perf_counter()
                 while len(self._pending_q) > self._async_depth:
                     emitted += self._commit_oldest()
+                if self._macro_log is not None:
+                    self._macro_log.append({
+                        "kind": "async", "Bp": len(prefill_items),
+                        "Bd": len(decode_items), "K": K,
+                        "sched_ms": (t_sched - t_step0) * 1e3,
+                        "stale_ms": (t_disp - t_sched) * 1e3,
+                        "dispatch_ms": (t_commit - t_disp) * 1e3,
+                        "commit_ms": (time.perf_counter() - t_commit) * 1e3,
+                    })
             elif decode_items:
                 # EOS commits drained the prefill group: fall through to
                 # the plain decode paths next step; just report.
