@@ -60,8 +60,20 @@ def main():
             steps.append((s1 - s0, len(emitted)))
     wall = time.perf_counter() - t0
 
-    log = eng._macro_log
-    print(f"\n== B={B} DS={DS} NT={NT}: {len(log)} macros, wall {wall:.2f}s")
+    # The log holds two record kinds: pump records (decode macros; have
+    # "B"/"cont_ms"/"fetch_ms") and async records (prefill/mixed dispatches;
+    # have "Bp"/"Bd"/phase timings) — print each in its own shape.
+    log = [m for m in eng._macro_log if "B" in m]
+    alog = [m for m in eng._macro_log if m.get("kind") == "async"]
+    print(f"\n== B={B} DS={DS} NT={NT}: {len(log)} macros "
+          f"+ {len(alog)} async dispatches, wall {wall:.2f}s")
+    if alog:
+        print(f"{'Bp':>4} {'Bd':>4} {'K':>4} {'sched_ms':>9} {'stale_ms':>9} "
+              f"{'disp_ms':>8} {'commit_ms':>10}")
+        for m in alog:
+            print(f"{m['Bp']:>4} {m['Bd']:>4} {m['K']:>4} "
+                  f"{m['sched_ms']:>9.1f} {m['stale_ms']:>9.1f} "
+                  f"{m['dispatch_ms']:>8.1f} {m['commit_ms']:>10.1f}")
     print(f"{'K':>4} {'B':>4} {'cont_ms':>9} {'fetch_ms':>9} "
           f"{'update_ms':>10} {'cont?':>6}")
     for m in log:
