@@ -72,12 +72,12 @@ if not do_warmup_first:
     n = eng.warmup(prompt_lens=(512,))
     warmup_s = time.perf_counter() - t0        # background-warmable cost
 
-print("WSJSON " + json.dumps({
+print("WSJSON " + json.dumps({{
     "build_s": round(build_s, 1), "warmup_programs": n,
     "warmup_s": round(warmup_s, 1), "warmup_first": do_warmup_first,
     "ttft_in_engine_s": round(first_s, 2),
     "post_first_drain_s": round(drain_s, 2),
-    "serve_by_s": round(serve_by, 1)}), flush=True)
+    "serve_by_s": round(serve_by, 1)}}), flush=True)
 """
 
 

@@ -491,6 +491,50 @@ class TestScheduler:
         out = s.schedule()
         assert [it.request.req_id for it in out] == [0]  # budget exhausted by r0
 
+    def test_cold_burst_holds_decodes_until_ramp_drains(self):
+        """Cold-burst prefill priority: while the burst's prefill backlog
+        exceeds one step's token budget, rows that finished their prefill
+        are NOT scheduled for decode — they wait at exactly 1 output token
+        so the whole batch enters the decode phase depth-synchronized
+        (engine decode macros then run with every row live)."""
+        s = sched(max_tokens=32, max_seqs=8)
+        for i in range(8):
+            s.add_request(req(i, 32, max_new=4))  # 8 x 32-token prompts
+        saw_hold = False
+        first_decode_step = None
+        for step in range(64):
+            out = s.schedule()
+            if not out and not s.waiting:
+                break
+            decodes = [it for it in out if it.num_new_tokens == 1]
+            finished_prefills = sum(
+                1 for r in s.running if not r.is_prefill and r.output_token_ids)
+            if decodes and first_decode_step is None:
+                first_decode_step = step
+                # every burst row enters decode depth-synchronized
+                assert all(len(it.request.output_token_ids) == 1
+                           for it in decodes)
+            if first_decode_step is None and finished_prefills >= 2:
+                assert not decodes  # hold active while backlog > budget
+                saw_hold = True
+            s.update(out, [7] * len(out))
+        assert saw_hold and first_decode_step is not None
+
+    def test_steady_serving_never_holds_decodes(self):
+        """A mature decode row (> 1 output token) disables the cold-burst
+        hold: decode keeps its per-step cadence even while a large arrival
+        backlog queues (ITL must not stall behind admissions)."""
+        s = sched(max_tokens=32, max_seqs=8)
+        s.add_request(req(0, 16, max_new=32))
+        while len(s.requests[0].output_token_ids) < 3:
+            out = s.schedule()
+            s.update(out, [7] * len(out))
+        for i in range(1, 7):
+            s.add_request(req(i, 32, max_new=4))  # 6 x 32 = 192 > budget
+        out = s.schedule()
+        assert any(it.num_new_tokens == 1
+                   and it.request.req_id == 0 for it in out)
+
 
 # ---------------------------------------------------------------- sampling stats
 

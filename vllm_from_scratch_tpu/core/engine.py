@@ -1297,9 +1297,27 @@ class LLMEngine:
         (output length already counts in-flight placeholders)."""
         if not decode:
             return 0
-        K_max = self.config.scheduler.mixed_steps
+        scfg = self.config.scheduler
+        K_max = scfg.mixed_steps
         backlog = len(self.scheduler.waiting) + sum(
             1 for r in self.scheduler.running if r.is_prefill)
+        # Warm-burst guard: while more prefill TOKENS wait than one step's
+        # budget retires, every fused decode iteration is pure overhead —
+        # it streams the full weights (~4.4 ms at the midsize shape) to
+        # advance only the decode rows, delays every queued prefill's TTFT,
+        # and desynchronizes row depths for the post-burst decode macros.
+        # K=1 rides the prefill chunk's weight stream for free (one fused
+        # forward).  (Cold bursts don't even reach here — the scheduler's
+        # prefill-priority hold keeps their decode rows unscheduled; this
+        # covers bursts arriving mid-serving.)
+        pending_tokens = sum(
+            r.num_tokens - r.num_computed_tokens
+            for r in self.scheduler.running
+            if r.is_prefill or r.needs_catchup) + sum(
+            r.num_tokens - r.num_computed_tokens
+            for r in self.scheduler.waiting)
+        if pending_tokens > scfg.max_num_batched_tokens:
+            return 1
         share = len(decode) / max(1, len(decode) + backlog)
         K = min(K_max, int(K_max * share + 0.5))
         K = min(K, min(

@@ -238,11 +238,54 @@ class Scheduler:
                     if self.connector.poll(req) is not None:
                         req.status = RequestStatus.WAITING
 
+        # Cold-burst prefill priority: when the prefill backlog exceeds what
+        # one step's chunk budget can retire AND every running decode row is
+        # itself a just-finished member of the same burst (<= 1 output
+        # token), skip decode scheduling for this step.  Interleaving decode
+        # rows through a long admission ramp desynchronizes row depths —
+        # early finishers then ride the post-ramp pinned decode macros as
+        # masked pad rows (a full weight stream for zero live tokens at the
+        # window tail) — and every fused decode iteration inside a mixed
+        # step streams the full weights to advance only the decode rows
+        # (measured ~4.4 ms at the midsize shape vs ~22 ms for a whole
+        # 2048-token chunk).  Holding the burst's decode rows until the ramp
+        # drains keeps all depths aligned (the decode window then runs with
+        # every macro row live) and leaves ramp steps streaming weights for
+        # prefill FLOPs only.  TTFT is unaffected (first tokens sample at
+        # each row's final prefill chunk).  Steady serving never holds: any
+        # decode row with > 1 output token disables it, so ITL cannot stall
+        # behind an arrival queue.  Forward progress is guaranteed: the hold
+        # requires schedulable prefill work — running prefills (Phase 2
+        # chunks them) or admissible waiting requests (Phase 3 admits them,
+        # preempting unprotected — i.e. held — decode rows if the pool is
+        # tight).
+        hold_decodes = False
+        if self.config.enable_chunked_prefill:
+            pending_tokens = sum(
+                r.num_tokens - r.num_computed_tokens
+                for r in self.running
+                if r.status is RequestStatus.RUNNING
+                and (r.is_prefill or r.needs_catchup))
+            # The backlog of a cold burst mostly sits in `waiting` (Phase 3
+            # admits only as many chunks as the budget covers per step) —
+            # count it only while admission is possible, so the hold can
+            # never outlive schedulable prefill work.
+            if len(self.running) < self.config.max_num_seqs:
+                pending_tokens += sum(
+                    r.num_tokens - r.num_computed_tokens
+                    for r in self.waiting
+                    if r.status is not RequestStatus.WAITING_FOR_REMOTE_KVS)
+            if pending_tokens > self.config.max_num_batched_tokens:
+                hold_decodes = all(
+                    len(r.output_token_ids) <= 1 for r in self.running
+                    if r.status is RequestStatus.RUNNING
+                    and not (r.is_prefill or r.needs_catchup))
+
         # Phase 1: running decodes — one token each.  needs_catchup filters
         # preemption-resumed requests still recomputing their kept outputs
         # (they chunk in Phase 2; sampling from an un-caught-up position
         # would restart the sequence mid-stream).
-        for req in list(self.running):
+        for req in list(self.running) if not hold_decodes else ():
             if (req.is_prefill or req.needs_catchup or budget <= 0
                     or req.status is not RequestStatus.RUNNING):
                 continue
