@@ -43,12 +43,12 @@ BASELINE_TOKS_PER_S = 450.0
 
 # Saturating batch: decode is weight-streaming-bound, so the flat
 # per-step cost amortizes over more sequences until per-token terms catch
-# up.  r3's sweep peaked at B=64 on its host; with r4's pinned decode
-# macros and this round's higher-latency tunnel the curve peaks at B=32
-# (r4 sweep: B=16 3,743 / B=32 4,555 / B=64 3,954 tok/s) — per-macro
-# host+transfer overhead grows with B and overtakes the amortization
-# earlier.  The headline takes the best measured point either way.
-PEAK_BATCH = 32
+# up.  r4's sweep peaked at B=32 (ramp-desync left B=64 macros running
+# masked pad rows); with r5's cold-burst prefill-priority hold the batch
+# enters decode depth-synchronized and B=64 leads again (r5 sweep:
+# B=32 5,341 / B=64 5,935 tok/s).  The headline takes the best measured
+# point either way.
+PEAK_BATCH = 64
 
 # Per-leg wall budgets (compile-inclusive; cold-tunnel compiles are the
 # dominant term).  The persistent compile cache (utils/compile_cache.py)
@@ -293,7 +293,12 @@ def main():
                               if "bytes_per_step" in b16 else None),
         "hbm_util_pct": b16.get("hbm_util_pct"),
         "midsize_kv_usage_peak": b16.get("kv_usage_peak"),
-        **{k: v for k, v in b16.items() if k.startswith("prefill_")},
+        # Prefill characterization at the PEAK batch (same batch as the
+        # headline; VERDICT r4 weak#7 discipline) — the b16 point is kept
+        # alongside for r2-r4 continuity.
+        **{k: v for k, v in peak.items() if k.startswith("prefill_")},
+        "b16_prefill_tokens_per_s": b16.get("prefill_tokens_per_s"),
+        "b16_prefill_mfu_pct": b16.get("prefill_mfu_pct"),
         **{k: v for k, v in toy.items() if k.startswith(("toy_", "prefix_"))},
         "backend": (peak.get("backend") or b16.get("backend")
                     or toy.get("backend")),

@@ -39,19 +39,21 @@ def pct(xs, p):
     return float(np.percentile(np.asarray(xs), p)) if len(xs) else float("nan")
 
 
-def run_rate(rate: float, verbose: bool = True) -> dict:
+def build_warm_engine(verbose: bool = True):
+    """One warmed engine serves every rate window (r5): building + warming
+    a fresh engine per rate cost ~11 min EACH on the tunnel (the axon
+    backend cannot serialize executables, so the persistent compile cache
+    is a no-op there — utils/compile_cache.py), and sequential engines in
+    one process leave prior weights resident (the bench.py leg-isolation
+    lesson).  Windows are isolated by draining between rates and reporting
+    per-window counter deltas."""
     from benchmarks.bench_midsize import BATCH, build_engine
 
     from vllm_from_scratch_tpu.core.config import SamplingParams
     from vllm_from_scratch_tpu.utils.compile_cache import (
         enable_persistent_cache)
 
-    # Persistent compile cache (r4, VERDICT r3 #4): warmup()'s ~36 programs
-    # compile once per CONFIG, not once per process — a server restart
-    # replays them from disk (measured: TPU executable deserialization works
-    # across processes over the tunnel), cutting the ~200 s warmup to the
-    # execute-once cost.
-    enable_persistent_cache()
+    enable_persistent_cache()  # no-op on axon; real backends restart warm
 
     eng = build_engine(BATCH)
     rng = np.random.RandomState(0)
@@ -71,6 +73,16 @@ def run_rate(rate: float, verbose: bool = True) -> dict:
     if verbose:
         print(f"warmup: {n_prog} programs in "
               f"{time.perf_counter()-t0:.0f} s", flush=True)
+    return eng, sp, prompt
+
+
+def run_rate(rate: float, eng=None, sp=None, prompt=None,
+             verbose: bool = True) -> dict:
+    if eng is None:
+        eng, sp, prompt = build_warm_engine(verbose)
+    rng = np.random.RandomState(int(rate * 16) + 1)
+    preempt0 = eng.scheduler.stats.num_preempted
+    hit0, query0 = eng.kv_mgr.hit_blocks, eng.kv_mgr.query_blocks
 
     n_total = max(4, int(rate * SECS))
     gaps = rng.exponential(1.0 / rate, n_total)
@@ -128,8 +140,10 @@ def run_rate(rate: float, verbose: bool = True) -> dict:
         "p99_ttft_ms": round(1e3 * pct(ttft, 99), 1),
         "p50_itl_ms": round(1e3 * pct(itls, 50), 2),
         "p99_itl_ms": round(1e3 * pct(itls, 99), 2),
-        "preemptions": eng.scheduler.stats.num_preempted,
-        "prefix_hit_rate": round(eng.kv_mgr.hit_rate, 3),
+        "preemptions": eng.scheduler.stats.num_preempted - preempt0,
+        "prefix_hit_rate": round(
+            (eng.kv_mgr.hit_blocks - hit0)
+            / max(eng.kv_mgr.query_blocks - query0, 1), 3),
         "wall_s": round(wall, 1),
     }
     if STEPLOG is not None:
@@ -144,7 +158,12 @@ def run_rate(rate: float, verbose: bool = True) -> dict:
 
 def main():
     rates = [float(r) for r in sys.argv[1:]] or [2.0, 4.0, 8.0]
-    rows = [run_rate(r) for r in rates]
+    eng, sp, prompt = build_warm_engine()
+    rows = []
+    for r in rates:
+        rows.append(run_rate(r, eng, sp, prompt))
+        while eng.has_unfinished:  # drain between windows
+            eng.step()
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_serving.json"), "w") as f:
         json.dump(rows, f, indent=1)

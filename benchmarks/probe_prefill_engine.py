@@ -44,14 +44,18 @@ def main():
     t0 = time.perf_counter()
     first = {}
     steps = []
+    last_wall = None
     while eng.has_unfinished:
         s0 = time.perf_counter()
         emitted = eng.step()
         s1 = time.perf_counter()
+        n_before = len(first)
         for rid, _ in emitted:
             first.setdefault(rid, s1 - t0)
         if len(first) < len(ids):
             steps.append((s1 - s0, len(emitted)))
+        elif n_before < len(ids):
+            last_wall = s1 - s0  # the step that closed the window
     window = max(first.values())
     toks = B * 512
     print(f"\nprefill window: {1e3*window:.0f} ms for {toks} tokens = "
@@ -69,7 +73,9 @@ def main():
                   f"{m.get('K',''):>3} {'':>7} {'':>7} "
                   f"{m.get('cont_ms',0):>7.1f} {m.get('fetch_ms',0):>7.1f}")
     print(f"\nper-step wall (ms): "
-          + " ".join(f"{1e3*s:.0f}" for s, _ in steps))
+          + " ".join(f"{1e3*s:.0f}" for s, _ in steps)
+          + (f"  | window-closing step: {1e3*last_wall:.0f}"
+             if last_wall is not None else ""))
 
 
 if __name__ == "__main__":

@@ -1320,6 +1320,15 @@ class LLMEngine:
             return 1
         share = len(decode) / max(1, len(decode) + backlog)
         K = min(K_max, int(K_max * share + 0.5))
+        # Cold-burst TAIL: the scheduler's hold just released (backlog now
+        # fits one step) but rows are still depth-synchronized at <= 1
+        # output token.  Jumping straight to the share-formula K here fused
+        # K=8 decode iterations behind the burst's LAST prefill chunks
+        # (measured +35 ms on the final first-token at B=16) and
+        # re-staggered the rows the hold kept aligned.  Cap K at 2 until
+        # the batch has actually entered steady decode.
+        if all(len(it.request.output_token_ids) <= 1 for it in decode):
+            K = min(K, 2)
         K = min(K, min(
             it.request.sampling.max_new_tokens
             - len(it.request.output_token_ids)
@@ -1626,7 +1635,16 @@ class LLMEngine:
             return emitted_prev + emitted
 
         if self._try_multi_step(scheduled):
-            return emitted_prev + self._pump_async()
+            if emitted_prev:
+                # Tokens committed above (e.g. the burst ramp's last prefill
+                # chunks) must not wait a whole macro fetch to reach the
+                # caller: the macro is already in flight — return now and
+                # let the next step() pump it.  Measured: the last cohort's
+                # first tokens were riding ~150 ms (B=16) / ~290 ms (B=64)
+                # behind the first decode macro at every ramp->decode
+                # transition.
+                return emitted_prev
+            return self._pump_async()
 
         prefill = prefill_items
         decode = decode_items
