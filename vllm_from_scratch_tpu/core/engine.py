@@ -112,44 +112,14 @@ class LLMEngine:
 
         key = jax.random.PRNGKey(config.seed)
         pkey, self._rng = jax.random.split(key)
-        self._eplb_on = config.parallel.eplb_interval > 0 and mcfg.is_moe
-        if params is not None:
-            self.params = params
-        elif config.parallel.world_size <= 1:
-            # Single-chip: build init (+ EPLB identity map) (+ weight
-            # quantize) as ONE compiled program.  Run eagerly these
-            # dispatch ~10 PRNG programs plus dozens of per-weight
-            # quantize kernels, and on a remote-tunnel chip every one
-            # pays a compile round trip — measured 130-157 s of engine
-            # build at the midsize shape (benchmarks/bench_warmstart.py);
-            # fused it is one compile.  (The multi-chip path stays eager:
-            # quantize must run under GSPMD after shard_params so layouts
-            # inherit.)
-            def _build(k):
-                p = transformer.init_params(k, mcfg)
-                if self._eplb_on:
-                    emap = jnp.tile(
-                        jnp.arange(mcfg.num_experts, dtype=jnp.int32),
-                        (mcfg.num_layers, 1))
-                    p = {**p, "layers": {**p["layers"],
-                                         "moe": {**p["layers"]["moe"],
-                                                 "expert_map": emap}}}
-                if config.quant.weight_quant in ("int8", "int4"):
-                    p = transformer.quantize_params(
-                        p, mcfg,
-                        bits=4 if config.quant.weight_quant == "int4" else 8,
-                        scope=config.quant.scope)
-                return p
-            self.params = jax.jit(_build)(pkey)
-        else:
-            self.params = transformer.init_params(pkey, mcfg)
+        self.params = params if params is not None else transformer.init_params(pkey, mcfg)
         self.cache = transformer.init_cache(
             mcfg, ccfg.num_blocks * cp, ccfg.block_size, ccfg.kv_quant
         )
 
         # EPLB (parallel/eplb.py): identity expert_map joins the param tree
         # BEFORE sharding/quantization so every path sees a stable pytree.
-        # (The fused single-chip _build above already added it.)
+        self._eplb_on = config.parallel.eplb_interval > 0 and mcfg.is_moe
         if self._eplb_on and "expert_map" not in self.params["layers"]["moe"]:
             emap = jnp.tile(
                 jnp.arange(mcfg.num_experts, dtype=jnp.int32),
